@@ -1,0 +1,370 @@
+"""WNet — the W-shaped multi-stage temporal-shift U-Net denoiser, TPU-native.
+
+One functional core serves every mode of the reference's three network
+classes (WNet/TSN for training, BSVD for streaming inference):
+
+- ``shift_mode='none'``  -> plain 2-D WNet (reference
+  Experimental_root/archs/archs_2d/wnet_models.py:126-278)
+- ``shift_mode='TSM'``   -> temporal-shift WNet == TSN training net
+  (Experimental_root/archs/tsm_arch.py:11-72); applied whole-clip it is
+  exactly the BSVD streaming pipeline (bsvd_arch.py:441-560) because both
+  use zero temporal boundaries.
+- ``shift_mode='TSM_toFutureOnly'`` -> causal/unidirectional variant
+  (temporal_shift.py:42-46).
+
+Layout is (N, T, H, W, C) NHWC — channels ride the TPU lane dimension and
+the T axis merges into the conv batch, so every 3x3 conv is one large MXU
+matmul over N*T frames.
+
+Structure per stage (DenBlock, chns=(c0,c1,c2)):
+  inc   : InputCvBlock conv(in->interm) act conv(interm->c0) act
+          (or CvBlock with temporal shift when shift_input=True)
+  down0 : conv_s2(c0->c1) act | shift-conv(c1) act | shift-conv(c1) act
+  down1 : conv_s2(c1->c2) act | shift-conv(c2) act | shift-conv(c2) act
+  up2   : shift-conv(c2) act shift-conv(c2) act | conv(c2->4*c1) pixshuf
+  up1   : (x1+x2) shift-conv(c1) act x2 | conv(c1->4*c0) pixshuf
+  outc  : (x0+x1) conv(c0) act conv(c0->out)
+  residual: out[..., :3] = in[..., :3] - out[..., :3]
+
+Only the CvBlock convs inside down/up blocks are temporal (16 shift convs
+for stage_num=2 — matching BSVD.count_shift()==16, bsvd_arch.py:554-560).
+"""
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsvd_tpu.nn.layers import conv2d, conv_init, get_act, get_norm, norm_apply, norm_init
+from bsvd_tpu.nn.shift import temporal_shift, temporal_shift_chunk
+from bsvd_tpu.utils.registry import ARCH_REGISTRY
+
+
+@dataclasses.dataclass(frozen=True)
+class WNetConfig:
+    """Static architecture configuration (hashable: safe as a jit static arg)."""
+    chns: Tuple[int, ...] = (32, 64, 128)
+    mid_ch: int = 3
+    in_ch: int = 4
+    out_ch: int = 3
+    stage_num: int = 2
+    interm_ch: int = 30
+    norm: str = 'bn'
+    act: str = 'relu'
+    bias: bool = True
+    blind: bool = False
+    shift_input: bool = False
+    shift_mode: str = 'TSM'    # 'none' | 'TSM' | 'TSM_toFutureOnly'
+    fold_div: int = 8
+
+    def __post_init__(self):
+        get_norm(self.norm)
+        get_act(self.act)
+
+    def stage_io(self, i):
+        """(in_ch, out_ch, blind) of stage i — blind only drops the noise-map
+        channel of stage 0 (reference wnet_models.py:240-256)."""
+        s_in = self.in_ch if i == 0 else self.mid_ch
+        s_out = self.out_ch if i == (self.stage_num - 1) else self.mid_ch
+        return s_in, s_out, (self.blind and i == 0)
+
+    @property
+    def effective_in_ch(self):
+        return 3 if self.blind else self.in_ch
+
+    @property
+    def shift_num(self):
+        """Temporal (shift) convs per net = pipeline delay of streaming mode."""
+        per_stage = 8 + (2 if self.shift_input else 0)
+        return per_stage * self.stage_num
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _cvblock_init(key, in_ch, out_ch, cfg):
+    k1, k2 = jax.random.split(key)
+    return {
+        'c1': conv_init(k1, in_ch, out_ch, 3, cfg.bias),
+        'n1': norm_init(cfg.norm, out_ch),
+        'c2': conv_init(k2, out_ch, out_ch, 3, cfg.bias),
+        'n2': norm_init(cfg.norm, out_ch),
+    }
+
+
+def _stage_init(key, cfg, stage_idx):
+    s_in, s_out, blind = cfg.stage_io(stage_idx)
+    if blind:
+        s_in = 3
+    c0, c1, c2 = cfg.chns
+    keys = jax.random.split(key, 8)
+    if cfg.shift_input:
+        inc = _cvblock_init(keys[0], s_in, c0, cfg)
+    else:
+        ka, kb = jax.random.split(keys[0])
+        inc = {
+            'c1': conv_init(ka, s_in, cfg.interm_ch, 3, cfg.bias),
+            'n1': norm_init(cfg.norm, cfg.interm_ch),
+            'c2': conv_init(kb, cfg.interm_ch, c0, 3, cfg.bias),
+            'n2': norm_init(cfg.norm, c0),
+        }
+    down0 = {'conv': conv_init(keys[1], c0, c1, 3, cfg.bias),
+             'n': norm_init(cfg.norm, c1),
+             'cv': _cvblock_init(keys[2], c1, c1, cfg)}
+    down1 = {'conv': conv_init(keys[3], c1, c2, 3, cfg.bias),
+             'n': norm_init(cfg.norm, c2),
+             'cv': _cvblock_init(keys[4], c2, c2, cfg)}
+    up2 = {'cv': _cvblock_init(keys[5], c2, c2, cfg),
+           'conv': conv_init(keys[5], c2, c1 * 4, 3, cfg.bias)}
+    up1 = {'cv': _cvblock_init(keys[6], c1, c1, cfg),
+           'conv': conv_init(keys[6], c1, c0 * 4, 3, cfg.bias)}
+    ka, kb = jax.random.split(keys[7])
+    outc = {'c1': conv_init(ka, c0, c0, 3, cfg.bias),
+            'n1': norm_init(cfg.norm, c0),
+            'c2': conv_init(kb, c0, s_out, 3, cfg.bias)}
+    return {'inc': inc, 'down0': down0, 'down1': down1,
+            'up2': up2, 'up1': up1, 'outc': outc}
+
+
+def wnet_init(key, cfg):
+    """Initialize the full WNet parameter pytree."""
+    keys = jax.random.split(key, cfg.stage_num)
+    return {f'stage{i}': _stage_init(keys[i], cfg, i) for i in range(cfg.stage_num)}
+
+
+# ---------------------------------------------------------------------------
+# apply (MIMO mode over (N, T, H, W, C))
+# ---------------------------------------------------------------------------
+
+def _shift(x, cfg, shift_fn):
+    if cfg.shift_mode == 'none':
+        return x
+    if shift_fn is not None:
+        return shift_fn(x)
+    return temporal_shift(x, cfg.fold_div, cfg.shift_mode)
+
+
+def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None):
+    """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
+    convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
+    overriding the default whole-segment shift (used for chunked carry)."""
+    if temporal:
+        x = _shift(x, cfg, shift_pair[0] if shift_pair else None)
+    x = act(norm_apply(cfg.norm, p['n1'], conv2d(p['c1'], x)))
+    if temporal:
+        x = _shift(x, cfg, shift_pair[1] if shift_pair else None)
+    x = act(norm_apply(cfg.norm, p['n2'], conv2d(p['c2'], x)))
+    return x
+
+
+def _stage_apply(p, x, cfg, act, shift_fns=None):
+    """One DenBlock stage. ``shift_fns``: optional list of per-shift-site
+    closures (used by chunked inference to thread carries); consumed in call
+    order via a mutable iterator."""
+    from bsvd_tpu.nn.layers import pixel_shuffle
+
+    def next_shift():
+        if shift_fns is None:
+            return None
+        return next(shift_fns)
+
+    if cfg.shift_input:
+        sf1, sf2 = next_shift(), next_shift()
+        xs = _shift(x, cfg, sf1)
+        x0 = act(norm_apply(cfg.norm, p['inc']['n1'], conv2d(p['inc']['c1'], xs)))
+        x0 = _shift(x0, cfg, sf2)
+        x0 = act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+    else:
+        x0 = act(norm_apply(cfg.norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
+        x0 = act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+
+    d = p['down0']
+    x1 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x0, stride=2)))
+    x1 = _cvblock_apply(d['cv'], x1, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+
+    d = p['down1']
+    x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+
+    u = p['up2']
+    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
+
+    u = p['up1']
+    x1 = _cvblock_apply(u['cv'], x1 + x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    x1 = pixel_shuffle(conv2d(u['conv'], x1), 2)
+
+    o = p['outc']
+    y = act(norm_apply(cfg.norm, o['n1'], conv2d(o['c1'], x0 + x1)))
+    y = conv2d(o['c2'], y)
+
+    # Residual on the first 3 (RGB) channels only (wnet_models.py:181).
+    res = x[..., :3] - y[..., :3]
+    return jnp.concatenate([res, y[..., 3:]], axis=-1)
+
+
+def wnet_apply(params, x, cfg):
+    """MIMO forward: x (N, T, H, W, C_in) -> (N, T, H, W, out_ch).
+
+    With shift_mode='TSM' this is simultaneously:
+    - the TSN training forward when T == num_segments (per-sample segments),
+    - whole-clip BSVD inference when T == clip length (== the reference's
+      streaming pipeline output, bit-for-bit in exact arithmetic).
+    """
+    act = get_act(cfg.act)
+    for i in range(cfg.stage_num):
+        x = _stage_apply(params[f'stage{i}'], x, cfg, act)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# chunked MIMO inference with explicit carry (replaces the reference's
+# global queue buffer: global_queue_buffer.py + temporal_shift.py:53-80)
+# ---------------------------------------------------------------------------
+
+def wnet_apply_chunk(params, x, cfg, carries, future_buffer_len=0):
+    """Forward one chunk, threading per-shift-site carries.
+
+    Args:
+        carries: list of per-site carry arrays (or None on the first chunk),
+            ordered by shift-site call order — FIFO identical to the
+            reference's global queue.
+    Returns:
+        (out, new_carries)
+    """
+    act = get_act(cfg.act)
+    new_carries = []
+    site = {'i': 0}
+
+    def make_shift_fn():
+        idx = site['i']
+        site['i'] += 1
+
+        def fn(h):
+            carry = None if carries is None else carries[idx]
+            shifted, new_c = temporal_shift_chunk(
+                h, carry, cfg.fold_div, cfg.shift_mode,
+                future_buffer_len=future_buffer_len)
+            while len(new_carries) <= idx:
+                new_carries.append(None)
+            new_carries[idx] = new_c
+            return shifted
+        return fn
+
+    n_sites = cfg.shift_num
+    fns = iter([make_shift_fn() for _ in range(n_sites)])
+    for i in range(cfg.stage_num):
+        x = _stage_apply(params[f'stage{i}'], x, cfg, act, shift_fns=fns)
+    return x, new_carries
+
+
+# ---------------------------------------------------------------------------
+# Registered arch wrappers with reference-compatible construction/IO
+# ---------------------------------------------------------------------------
+
+def _nfchw_to_nthwc(x):
+    return jnp.transpose(x, (0, 1, 3, 4, 2))
+
+
+def _nthwc_to_nfchw(x):
+    return jnp.transpose(x, (0, 1, 4, 2, 3))
+
+
+class _WNetBase:
+    """Holds (cfg, params); callable with reference layout (N, F, C, H, W)."""
+
+    def __init__(self, cfg, params=None, seed=0, param_dtype=jnp.float32):
+        self.cfg = cfg
+        if params is None:
+            params = wnet_init(jax.random.PRNGKey(seed), cfg)
+        self.params = jax.tree.map(lambda a: a.astype(param_dtype), params)
+
+    @property
+    def shift_num(self):
+        return self.cfg.shift_num
+
+    def __call__(self, input, noise_map=None):
+        """input: (N, F, C, H, W); noise_map: (N, F, 1, H, W) or None.
+        Returns (N, F, out_ch, H, W) — reference BSVD.forward/TSN.forward IO
+        (bsvd_arch.py:490-499, tsm_arch.py:59-72)."""
+        if noise_map is not None:
+            input = jnp.concatenate([input, noise_map], axis=2)
+        x = _nfchw_to_nthwc(input)
+        y = wnet_apply(self.params, x.astype(self.params_dtype), self.cfg)
+        return _nthwc_to_nfchw(y)
+
+    @property
+    def params_dtype(self):
+        return jax.tree.leaves(self.params)[0].dtype
+
+    def load(self, path):
+        from bsvd_tpu.convert.torch_ckpt import load_params
+        self.params = load_params(path, self.cfg, dtype=self.params_dtype)
+        return self
+
+
+@ARCH_REGISTRY.register()
+class TSN(_WNetBase):
+    """Training-time temporal-shift network (reference tsm_arch.py:10-72).
+
+    Accepts the reference YAML options (network_g block of
+    options/train/bsvd_c64_unblind.yml:37-50).
+    """
+
+    def __init__(self, num_segments=11, base_model='WNet_multistage',
+                 shift_type='TSM', shift_div=8, inplace=False, net2d_opt=None,
+                 enable_past_buffer=True, seed=0, param_dtype=jnp.float32, **kwargs):
+        del inplace, kwargs
+        if base_model != 'WNet_multistage':
+            raise NotImplementedError(f'base_model {base_model!r}')
+        net2d_opt = dict(net2d_opt or {})
+        shift_mode = 'none' if shift_type == 'no_temporal_shift' else shift_type
+        cfg = WNetConfig(
+            chns=tuple(net2d_opt.get('chns', (32, 64, 128))),
+            mid_ch=net2d_opt.get('mid_ch', 3),
+            in_ch=net2d_opt.get('in_ch', 4),
+            out_ch=net2d_opt.get('out_ch', 3),
+            stage_num=net2d_opt.get('stage_num', 2),
+            interm_ch=net2d_opt.get('interm_ch', 30),
+            norm=net2d_opt.get('norm', 'bn'),
+            act=net2d_opt.get('act', 'relu'),
+            blind=net2d_opt.get('blind', False),
+            shift_input=net2d_opt.get('shift_input', False),
+            shift_mode=shift_mode,
+            fold_div=shift_div,
+        )
+        self.num_segments = num_segments
+        self.enable_past_buffer = enable_past_buffer
+        super().__init__(cfg, seed=seed, param_dtype=param_dtype)
+
+
+@ARCH_REGISTRY.register()
+class BSVD(_WNetBase):
+    """Streaming/inference network (reference bsvd_arch.py:441-560).
+
+    The reference's per-layer bidirectional buffers + whole-clip pipeline are
+    mathematically identical to whole-clip MIMO with zero temporal boundaries,
+    which is how __call__ evaluates (one big batched forward — optimal for the
+    MXU). True low-latency frame-by-frame streaming lives in
+    bsvd_tpu/archs/streaming.py.
+    """
+
+    def __init__(self, chns=(32, 64, 128), mid_ch=3, shift_input=False,
+                 in_ch=4, out_ch=3, norm='bn', act='relu', interm_ch=30,
+                 blind=False, pretrain_ckpt=None, shift_mode='TSM',
+                 seed=0, param_dtype=jnp.float32, **kwargs):
+        del kwargs
+        cfg = WNetConfig(
+            chns=tuple(chns), mid_ch=mid_ch, in_ch=in_ch, out_ch=out_ch,
+            interm_ch=interm_ch, norm=norm, act=act, blind=blind,
+            shift_input=shift_input, shift_mode=shift_mode)
+        super().__init__(cfg, seed=seed, param_dtype=param_dtype)
+        if pretrain_ckpt is not None:
+            self.load(pretrain_ckpt)
+
+
+# Stale alias used by options/test/0706_*.yml:87 (maps to today's BSVD class).
+BufferConv = BSVD
+ARCH_REGISTRY._do_register('BufferConv', BSVD)
