@@ -1,0 +1,341 @@
+"""Streaming (pipeline) inference with explicit scan-carried buffer state.
+
+This is the TPU-native re-design of the reference's stateful None-propagating
+module pipeline (reference semantics: bsvd_arch.py:53-114 BiBufferConv,
+:308-322 MemSkip, :325-414 streaming DenBlock, :501-552 fill/drain loop):
+
+- every temporal conv holds a (left_fold, center, has_center) buffer; one
+  streaming step advances the whole 16-deep pipeline by one frame,
+- U-Net skip connections cross the pipeline delay through fixed-depth ring
+  buffers (replacing the unbounded-list MemSkip),
+- the fill/drain None-logic becomes validity flags threaded through the step
+  (garbage is never committed to buffers: invalid inputs are masked),
+- a clip is processed by ``jax.lax.scan`` over T + shift_num steps and the
+  first shift_num outputs are dropped — bit-identical (in exact arithmetic)
+  to whole-clip MIMO ``wnet_apply`` because both use zero temporal
+  boundaries (property-tested in tests/test_streaming.py).
+
+The low-latency frame-by-frame client API is ``StreamDenoiser``.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bsvd_tpu.nn.layers import conv2d, get_act, norm_apply, pixel_shuffle
+from bsvd_tpu.archs.wnet_arch import WNetConfig  # noqa: F401  (re-export for typing)
+
+
+# ---------------------------------------------------------------------------
+# buffered temporal conv (BiBufferConv equivalent)
+# ---------------------------------------------------------------------------
+
+def _bibuffer_init(n, h, w, c, fold_div, dtype, causal=False):
+    fold = c // fold_div
+    width = 2 * fold if causal else fold
+    return {
+        'left': jnp.zeros((n, h, w, width), dtype),
+        'center': jnp.zeros((n, h, w, c), dtype),
+        'has_center': jnp.zeros((), jnp.bool_),
+    }
+
+
+def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
+                   causal=False):
+    """One streaming step of shift-conv(+norm+act).
+
+    Returns (new_state, out, out_valid). Bidirectional: conv input =
+    [right[:fold], left(past f:2f), center[2f:]] (bsvd_arch.py:42-50).
+    Causal (toFutureOnly): conv input = [past[:2f], center[2f:]] — no future
+    dependency, so the output corresponds to the *current* frame with no
+    added latency (temporal_shift.py:46).
+    """
+    c = state['center'].shape[-1]
+    fold = c // fold_div
+    can_compute = state['has_center']
+    xz = jnp.where(valid, x, jnp.zeros_like(x))
+
+    if causal:
+        # out_t = conv([x_{t-1}[:2f], x_t[2f:]]) — operate on the live frame.
+        inp = jnp.concatenate([state['left'], xz[..., 2 * fold:]], axis=-1)
+        out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
+        new_left = jnp.where(valid, x[..., :2 * fold], state['left'])
+        new_state = {'left': new_left, 'center': state['center'],
+                     'has_center': state['has_center']}
+        return new_state, out, valid
+
+    inp = jnp.concatenate([
+        xz[..., :fold],                      # future slice from the live frame
+        state['left'],                       # past slice (frame t-2)
+        state['center'][..., 2 * fold:],     # current frame (t-1) body
+    ], axis=-1)
+    out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
+    out_valid = can_compute
+
+    new_left = jnp.where(can_compute,
+                         state['center'][..., fold:2 * fold], state['left'])
+    new_center = jnp.where(valid, x, state['center'])
+    new_has_center = jnp.where(can_compute, valid,
+                               jnp.logical_or(state['has_center'], valid))
+    return ({'left': new_left, 'center': new_center,
+             'has_center': new_has_center}, out, out_valid)
+
+
+# ---------------------------------------------------------------------------
+# skip ring buffers (MemSkip equivalent, fixed depth)
+# ---------------------------------------------------------------------------
+
+def _ring_init(depth, n, h, w, c, dtype):
+    return {'buf': jnp.zeros((depth, n, h, w, c), dtype),
+            'w': jnp.zeros((), jnp.int32), 'r': jnp.zeros((), jnp.int32)}
+
+
+def _ring_push(state, x, valid):
+    depth = state['buf'].shape[0]
+    idx = jnp.where(valid, state['w'] % depth, 0)
+    new_buf = jnp.where(
+        valid,
+        lax.dynamic_update_index_in_dim(state['buf'], x.astype(state['buf'].dtype), idx, 0),
+        state['buf'])
+    return {'buf': new_buf, 'w': state['w'] + valid.astype(jnp.int32),
+            'r': state['r']}
+
+
+def _ring_pop(state, valid):
+    depth = state['buf'].shape[0]
+    val = lax.dynamic_index_in_dim(state['buf'], state['r'] % depth, 0,
+                                   keepdims=False)
+    return ({'buf': state['buf'], 'w': state['w'],
+             'r': state['r'] + valid.astype(jnp.int32)}, val)
+
+
+# ---------------------------------------------------------------------------
+# streaming DenBlock stage
+# ---------------------------------------------------------------------------
+
+def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
+    """State pytree for one DenBlock stage at input resolution (h, w)."""
+    assert h % 4 == 0 and w % 4 == 0, 'streaming needs H, W multiples of 4'
+    s_in, _, blind = cfg.stage_io(stage_idx)
+    if blind:
+        s_in = 3
+    c0, c1, c2 = cfg.chns
+    fd, dt = cfg.fold_div, dtype
+    causal = 'toFutureOnly' in cfg.shift_mode
+    d_inc = 2 if cfg.shift_input else 0
+    if causal:
+        d_inc = 0
+    st = {}
+    if cfg.shift_input:
+        st['inc'] = [_bibuffer_init(n, h, w, s_in, fd, dt, causal),
+                     _bibuffer_init(n, h, w, c0, fd, dt, causal)]
+    h2, w2, h4, w4 = h // 2, w // 2, h // 4, w // 4
+    st['down0'] = [_bibuffer_init(n, h2, w2, c1, fd, dt, causal),
+                   _bibuffer_init(n, h2, w2, c1, fd, dt, causal)]
+    st['down1'] = [_bibuffer_init(n, h4, w4, c2, fd, dt, causal),
+                   _bibuffer_init(n, h4, w4, c2, fd, dt, causal)]
+    st['up2'] = [_bibuffer_init(n, h4, w4, c2, fd, dt, causal),
+                 _bibuffer_init(n, h4, w4, c2, fd, dt, causal)]
+    st['up1'] = [_bibuffer_init(n, h2, w2, c1, fd, dt, causal),
+                 _bibuffer_init(n, h2, w2, c1, fd, dt, causal)]
+    # ring depths = pipeline in-flight count + 1 (see delays in module doc)
+    if causal:
+        st['skip1'] = _ring_init(1, n, h, w, 3, dt)
+        st['skip2'] = _ring_init(1, n, h, w, c0, dt)
+        st['skip3'] = _ring_init(1, n, h2, w2, c1, dt)
+    else:
+        st['skip1'] = _ring_init(d_inc + 9, n, h, w, 3, dt)
+        st['skip2'] = _ring_init(9, n, h, w, c0, dt)
+        st['skip3'] = _ring_init(5, n, h2, w2, c1, dt)
+    return st
+
+
+def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal):
+    """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149)."""
+    s1, o1, v1 = _bibuffer_step(p['c1'], norm, p['n1'], act, st_pair[0], x,
+                                valid, fold_div, causal)
+    s2, o2, v2 = _bibuffer_step(p['c2'], norm, p['n2'], act, st_pair[1], o1,
+                                v1, fold_div, causal)
+    return [s1, s2], o2, v2
+
+
+def _stage_stream_step(p, st, x, valid, cfg, act):
+    """One frame through one DenBlock stage (streaming DenBlock.forward,
+    bsvd_arch.py:374-396)."""
+    norm = cfg.norm
+    fd = cfg.fold_div
+    causal = 'toFutureOnly' in cfg.shift_mode
+    new_st = dict(st)
+
+    new_st['skip1'] = _ring_push(st['skip1'], x[..., :3], valid)
+
+    if cfg.shift_input:
+        s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
+                                    st['inc'][0], x, valid, fd, causal)
+        s2, x0, v0 = _bibuffer_step(p['inc']['c2'], norm, p['inc']['n2'], act,
+                                    st['inc'][1], x0, v0, fd, causal)
+        new_st['inc'] = [s1, s2]
+    else:
+        x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
+        x0 = act(norm_apply(norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+        v0 = valid
+
+    new_st['skip2'] = _ring_push(st['skip2'], x0, v0)
+
+    d = p['down0']
+    y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
+    new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
+                                          y, v0, fd, causal)
+    new_st['skip3'] = _ring_push(new_st['skip3'] if 'skip3' in new_st else st['skip3'], x1, v1)
+
+    d = p['down1']
+    y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    new_st['down1'], x2, v2 = _memcv_step(d['cv'], norm, act, st['down1'],
+                                          y, v1, fd, causal)
+
+    u = p['up2']
+    new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
+                                        x2, v2, fd, causal)
+    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
+
+    new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
+
+    u = p['up1']
+    new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
+                                          x2 + sk3.astype(x2.dtype), v2, fd, causal)
+    x1u = pixel_shuffle(conv2d(u['conv'], x1u), 2)
+
+    new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
+
+    o = p['outc']
+    y = act(norm_apply(norm, o['n1'], conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
+    y = conv2d(o['c2'], y)
+
+    new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
+    res = sk1.astype(y.dtype) - y[..., :3]
+    out = jnp.concatenate([res, y[..., 3:]], axis=-1)
+    return new_st, out, v1u
+
+
+# ---------------------------------------------------------------------------
+# full-net streaming
+# ---------------------------------------------------------------------------
+
+def stream_init(cfg, n, h, w, dtype=jnp.float32):
+    """Zero streaming state for the whole net at input resolution (h, w)."""
+    return [_stage_stream_init(cfg, i, n, h, w, dtype)
+            for i in range(cfg.stage_num)]
+
+
+def stream_step(params, state, x, valid, cfg):
+    """Advance the whole pipeline by one frame.
+
+    Args:
+        x: (N, H, W, C_in) frame (contents ignored when ``valid`` is False).
+        valid: () bool — False during drain.
+    Returns:
+        (new_state, out (N, H, W, out_ch_of_last_stage), out_valid)
+    """
+    act = get_act(cfg.act)
+    valid = jnp.asarray(valid, jnp.bool_)
+    new_state = []
+    for i in range(cfg.stage_num):
+        st, x, valid = _stage_stream_step(params[f'stage{i}'], state[i], x,
+                                          valid, cfg, act)
+        new_state.append(st)
+    return new_state, x, valid
+
+
+def pipeline_latency(cfg):
+    """Output delay in frames (== reference BSVD.shift_num for bidirectional;
+    0 for the causal variant, which needs no future context)."""
+    if 'toFutureOnly' in cfg.shift_mode:
+        return 0
+    return cfg.shift_num
+
+
+def streaming_apply(params, x, cfg, state_dtype=None):
+    """Whole-clip streaming forward via lax.scan — reference
+    BSVD.streaming_forward (bsvd_arch.py:501-552): feed T frames, then drain
+    with ``shift_num`` invalid steps, return outputs[shift_num:].
+
+    Args:
+        x: (N, T, H, W, C_in)
+    Returns:
+        (N, T, H, W, out_ch)
+    """
+    n, t, h, w, _ = x.shape
+    lat = pipeline_latency(cfg)
+    state = stream_init(cfg, n, h, w, state_dtype or x.dtype)
+
+    pad = jnp.zeros((n, lat) + x.shape[2:], x.dtype)
+    frames = jnp.concatenate([x, pad], axis=1)          # (N, T+lat, H, W, C)
+    frames_t = jnp.moveaxis(frames, 1, 0)               # (T+lat, N, H, W, C)
+    valids = jnp.arange(t + lat) < t
+
+    def body(carry, inp):
+        frame, valid = inp
+        new_carry, out, _ = stream_step(params, carry, frame, valid, cfg)
+        return new_carry, out
+
+    _, outs = lax.scan(body, state, (frames_t, valids))
+    return jnp.moveaxis(outs[lat:], 0, 1)
+
+
+class StreamDenoiser:
+    """Low-latency frame-by-frame streaming client.
+
+    Push frames one at a time; each push returns a denoised frame delayed by
+    ``latency`` frames (None while the pipeline fills). ``flush()`` drains the
+    remaining frames. This is the TPU counterpart of driving the reference
+    BSVD net with feedin_one_element (bsvd_arch.py:485-552) — the step is one
+    jitted XLA program with donated state, so per-frame host overhead is a
+    single dispatch.
+
+    Example::
+
+        sd = StreamDenoiser(params, cfg, batch=1, height=540, width=960)
+        for frame in video:           # frame: (1, H, W, C) with noise map
+            out = sd.push(frame)
+            if out is not None: emit(out)
+        for out in sd.flush(): emit(out)
+    """
+
+    def __init__(self, params, cfg, batch, height, width, dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = params
+        self._shape = (batch, height, width)
+        self.dtype = dtype
+        self.latency = pipeline_latency(cfg)
+        self._step = jax.jit(
+            lambda p, s, f, v: stream_step(p, s, f, v, cfg),
+            donate_argnums=(1,))
+        self.reset()
+
+    def reset(self):
+        n, h, w = self._shape
+        self.state = stream_init(self.cfg, n, h, w, self.dtype)
+        self._pushed = 0
+        self._emitted = 0
+
+    def push(self, frame):
+        frame = jnp.asarray(frame, self.dtype)
+        self.state, out, _ = self._step(self.params, self.state, frame, True)
+        self._pushed += 1
+        # Output validity is deterministic (pipeline latency), so no device
+        # sync is needed per frame — the step stays fully async.
+        if self._pushed > self.latency:
+            self._emitted += 1
+            return out
+        return None
+
+    def flush(self):
+        n, h, w = self._shape
+        cin = self.cfg.effective_in_ch
+        zero = jnp.zeros((n, h, w, cin), self.dtype)
+        outs = []
+        while self._emitted < self._pushed:
+            self.state, out, _ = self._step(self.params, self.state, zero, False)
+            outs.append(out)
+            self._emitted += 1
+        return outs

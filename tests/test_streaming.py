@@ -1,0 +1,107 @@
+"""Streaming pipeline == whole-clip MIMO equivalence.
+
+The reference asserts this only via a code comment ("0.002 dB"); here it is a
+hard property: scan-carried streaming with zero fill/drain boundaries is
+exactly whole-clip temporal shift with zero boundaries
+(reference: bsvd_arch.py:501-552 vs temporal_shift.py:40-47).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_apply, wnet_init
+from bsvd_tpu.archs.streaming import (StreamDenoiser, pipeline_latency,
+                                      streaming_apply)
+
+
+def _cfg(**kw):
+    base = dict(chns=(8, 16, 32), mid_ch=8, in_ch=4, out_ch=3, stage_num=2,
+                interm_ch=8, norm='none', act='relu6', shift_mode='TSM')
+    base.update(kw)
+    return WNetConfig(**base)
+
+
+def _run(cfg, t=20, n=1, h=16, w=16, seed=0):
+    params = wnet_init(jax.random.PRNGKey(seed), cfg)
+    cin = cfg.effective_in_ch
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, t, h, w, cin),
+                          jnp.float32)
+    mimo = wnet_apply(params, x, cfg)
+    stream = streaming_apply(params, x, cfg)
+    return params, x, np.asarray(mimo), np.asarray(stream)
+
+
+@pytest.mark.parametrize('variant', ['base', 'blind', 'stage1', 'short_clip',
+                                     'batch2'])
+def test_streaming_equals_mimo(variant):
+    kw, t, n = {}, 20, 1
+    if variant == 'blind':
+        kw = dict(blind=True)
+    elif variant == 'stage1':
+        kw = dict(stage_num=1)
+    elif variant == 'short_clip':
+        t = 5   # shorter than the 16-frame pipeline latency
+    elif variant == 'batch2':
+        n = 2
+    cfg = _cfg(**kw)
+    _, _, mimo, stream = _run(cfg, t=t, n=n)
+    assert mimo.shape == stream.shape
+    np.testing.assert_allclose(stream, mimo, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_causal_equals_mimo():
+    cfg = _cfg(shift_mode='TSM_toFutureOnly')
+    assert pipeline_latency(cfg) == 0
+    _, _, mimo, stream = _run(cfg, t=10)
+    np.testing.assert_allclose(stream, mimo, rtol=2e-5, atol=2e-5)
+
+
+def test_latency_matches_reference_shift_count():
+    assert pipeline_latency(_cfg()) == 16          # BSVD.count_shift() == 16
+    assert pipeline_latency(_cfg(stage_num=1)) == 8
+    assert pipeline_latency(_cfg(shift_input=True)) == 20
+
+
+def test_stream_denoiser_push_flush():
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, n, h, w = 20, 1, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, 4), jnp.float32)
+    mimo = np.asarray(wnet_apply(params, x, cfg))
+
+    sd = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    outs = []
+    for i in range(t):
+        out = sd.push(x[:, i])
+        if out is not None:
+            outs.append(np.asarray(out))
+    assert len(outs) == t - sd.latency
+    outs.extend(np.asarray(o) for o in sd.flush())
+    assert len(outs) == t
+    got = np.stack(outs, axis=1)
+    np.testing.assert_allclose(got, mimo, rtol=2e-5, atol=2e-5)
+
+    # reset + reuse reproduces the same outputs
+    sd.reset()
+    out0 = None
+    for i in range(sd.latency + 1):
+        out0 = sd.push(x[:, i])
+    np.testing.assert_allclose(np.asarray(out0), mimo[:, 0], rtol=2e-5, atol=2e-5)
+
+
+def test_stream_denoiser_causal_zero_latency():
+    cfg = _cfg(shift_mode='TSM_toFutureOnly')
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, h, w = 6, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, t, h, w, 4), jnp.float32)
+    mimo = np.asarray(wnet_apply(params, x, cfg))
+    sd = StreamDenoiser(params, cfg, batch=1, height=h, width=w)
+    for i in range(t):
+        out = sd.push(x[:, i])
+        assert out is not None, 'causal mode must have zero latency'
+        np.testing.assert_allclose(np.asarray(out), mimo[:, i],
+                                   rtol=2e-5, atol=2e-5)
+    assert sd.flush() == []
