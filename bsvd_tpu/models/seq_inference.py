@@ -1,0 +1,102 @@
+"""Sequence denoising algorithms: whole-clip, chunked MIMO with carries,
+and scan-streaming (reference: Experimental_root/models/validation_seq_infer.py
+denoise_seq/temp_denoise + the global queue it drives).
+
+The reference's module-level global queue becomes an explicit carry threaded
+between chunk calls; state never hides outside the function arguments.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsvd_tpu.archs.streaming import streaming_apply
+from bsvd_tpu.archs.wnet_arch import wnet_apply, wnet_apply_chunk
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _whole_clip_mimo(params, x, cfg):
+    return jnp.clip(wnet_apply(params, x, cfg), 0., 1.)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _whole_clip_stream(params, x, cfg):
+    return jnp.clip(streaming_apply(params, x, cfg), 0., 1.)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def _chunk_forward(params, x, cfg, carries, future_buffer_len):
+    out, new_carries = wnet_apply_chunk(params, x, cfg, carries,
+                                        future_buffer_len=future_buffer_len)
+    return jnp.clip(out, 0., 1.), new_carries
+
+
+def _with_noise_map(seq_thwc, noise_sigma, cfg):
+    """Append a constant noise-map channel unless the net is blind."""
+    if cfg.blind or noise_sigma is None:
+        return seq_thwc
+    t, h, w, _ = seq_thwc.shape
+    nm = jnp.full((t, h, w, 1), jnp.asarray(noise_sigma, seq_thwc.dtype))
+    return jnp.concatenate([seq_thwc, nm], axis=-1)
+
+
+def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
+                future_buffer_len=0, mode='mimo', compute_dtype=None):
+    """Denoise a frame sequence.
+
+    Args:
+        seq: (T, C, H, W) float array in [0, 1] (reference layout).
+        noise_sigma: scalar noise std in [0, 1] units, or None for blind nets.
+        temp_psz: -1 = whole clip in one forward (the BSVD test protocol,
+            equal to streaming); else MIMO chunk size with
+            ``future_buffer_len`` look-ahead frames re-fed per chunk (the
+            training-validation protocol, validation_seq_infer.py:54-89).
+        mode: 'mimo' (batched, MXU-optimal) or 'streaming' (scan pipeline) for
+            the whole-clip path.
+    Returns:
+        (T, out_ch, H, W) numpy float32 clamped to [0, 1].
+    """
+    seq = jnp.asarray(np.asarray(seq))
+    if compute_dtype is not None:
+        seq = seq.astype(compute_dtype)
+    t, c, h, w = seq.shape
+    x = jnp.transpose(seq, (0, 2, 3, 1))          # (T, H, W, C)
+    x = _with_noise_map(x, noise_sigma, cfg)[None]  # (1, T, H, W, C')
+
+    if temp_psz == -1 or temp_psz >= t:
+        fn = _whole_clip_stream if mode == 'streaming' else _whole_clip_mimo
+        out = fn(params, x, cfg)[0]
+        return np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2))
+
+    psz = int(temp_psz)
+    future = int(future_buffer_len)
+    num_seg = t // psz
+    rem = t % psz
+
+    den = np.empty((t,) + tuple(x.shape[2:4]) + (cfg.out_ch,), np.float32)
+    carries = None
+    future_cur = future
+    for i in range(num_seg):
+        start, end = i * psz, (i + 1) * psz
+        end_new = end + future_cur
+        if end_new > t:
+            # reference behavior: once look-ahead would overrun, disable it
+            # for the rest of the sequence (validation_seq_infer.py:67-69)
+            end_new = end
+            future_cur = 0
+        chunk = x[:, start:end_new]
+        out, carries = _chunk_forward(params, chunk, cfg, carries, future_cur)
+        den[start:end] = np.asarray(out[0, :psz], np.float32)
+
+    if rem > 0:
+        # ragged tail: reflect-pad with the mirrored preceding frames
+        # (validation_seq_infer.py:75-81)
+        tail = jnp.concatenate(
+            [x[:, num_seg * psz:],
+             jnp.flip(x[:, t - (psz - rem) - 1:t - 1], axis=1)], axis=1)
+        out, carries = _chunk_forward(params, tail, cfg, carries, 0)
+        den[num_seg * psz:] = np.asarray(out[0, :rem], np.float32)
+
+    return np.transpose(den, (0, 3, 1, 2))

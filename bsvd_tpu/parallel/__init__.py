@@ -1,0 +1,2 @@
+from bsvd_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
+                                    shard_batch)
