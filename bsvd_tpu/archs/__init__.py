@@ -17,5 +17,5 @@ def build_network(opt):
 
 
 for _m in pkgutil.iter_modules(__path__):
-    if _m.name.endswith('_arch') or _m.name == 'streaming':
+    if _m.name.endswith(('_arch', '_archs')) or _m.name == 'streaming':
         importlib.import_module(f'bsvd_tpu.archs.{_m.name}')

@@ -40,13 +40,26 @@ class SimpleLoader:
 
 def build_dataloader(dataset, dataset_opt, num_gpu=1, dist=False, sampler=None,
                      seed=None):
-    """Phase-dispatching loader factory.
+    """Phase-dispatching loader factory
+    (reference: BasicSR/basicsr/data/__init__.py:40-101).
 
-    Train 'loader-datasets' (e.g. the video training pipeline) iterate
-    themselves; val/test datasets get a SimpleLoader.
+    - self-iterating loader datasets (the video training pipeline) pass
+      through unchanged;
+    - train phase map-style datasets get a threaded BatchLoader with an
+      epoch-seeded EnlargedSampler;
+    - val/test datasets get a SimpleLoader (validation indexes directly).
     """
-    del num_gpu, dist, sampler, seed
+    del dist
     phase = dataset_opt.get('phase', 'val')
     if hasattr(dataset, '__next__'):
         return dataset
+    if phase == 'train':
+        from bsvd_tpu.data.sampler import BatchLoader, EnlargedSampler
+        if sampler is None:
+            sampler = EnlargedSampler(dataset,
+                                      ratio=dataset_opt.get('dataset_enlarge_ratio', 1))
+        batch_size = dataset_opt.get('batch_size_per_gpu', 1) * max(num_gpu, 1)
+        return BatchLoader(dataset, batch_size, sampler=sampler,
+                           num_workers=dataset_opt.get('num_worker_per_gpu', 4),
+                           seed=seed)
     return SimpleLoader(dataset, phase=phase)

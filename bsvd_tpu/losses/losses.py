@@ -114,10 +114,3 @@ class PerceptualLoss:
         raise NotImplementedError(
             'PerceptualLoss needs pretrained VGG weights which are not '
             'bundled; no BSVD config uses it.')
-
-
-@LOSS_REGISTRY.register()
-class GANLoss:
-    def __init__(self, *a, **k):
-        raise NotImplementedError('GANLoss: GAN training lands with the GAN '
-                                  'model family.')
