@@ -52,13 +52,26 @@ def open_image(fpath, gray_mode=False, expand_if_needed=False, normalize_data=Tr
 
 
 def open_sequence(seq_dir, gray_mode=False, expand_if_needed=False, max_num_fr=100):
-    """Load a folder of frames -> (T, C, H, W) float32 [0,1]."""
-    files = get_imagenames(seq_dir)
+    """Load a folder of frames -> (T, C, H, W) float32 [0,1].
+
+    Uses the native C++ parallel decoder when available (RGB, no expand);
+    falls back to cv2 per-frame."""
+    files = get_imagenames(seq_dir)[0:max_num_fr]
+    if not files:
+        raise IOError(f'no images found in {seq_dir}')
+
+    if not gray_mode and not expand_if_needed and \
+            os.environ.get('BSVD_NATIVE_DECODE', '1') != '0':
+        from bsvd_tpu.data import native_decode
+        if native_decode.available():
+            seq = native_decode.load_crop_seq(files)
+            if seq is not None:
+                seq = np.transpose(seq, (0, 3, 1, 2)).astype(np.float32) / 255.
+                return seq, False, False
+
     seq_list = []
-    for fpath in files[0:max_num_fr]:
+    for fpath in files:
         img, expanded_h, expanded_w = open_image(
             fpath, gray_mode=gray_mode, expand_if_needed=expand_if_needed)
         seq_list.append(img)
-    if not seq_list:
-        raise IOError(f'no images found in {seq_dir}')
     return np.stack(seq_list, axis=0), expanded_h, expanded_w

@@ -26,6 +26,15 @@ from bsvd_tpu.utils.registry import DATASET_REGISTRY
 _VIDEO_EXTS = ('.mp4', '.avi', '.mov', '.mkv', '.m4v', '.webm')
 
 
+def _use_native():
+    """Native C++ decode pool (libjpeg/libpng, bsvd_tpu/data/_native) —
+    enabled by default when it builds; BSVD_NATIVE_DECODE=0 disables."""
+    if os.environ.get('BSVD_NATIVE_DECODE', '1') == '0':
+        return False
+    from bsvd_tpu.data import native_decode
+    return native_decode.available()
+
+
 class _ClipIndex:
     """Enumerates decodable clips (video files or frame folders) and their
     frame counts."""
@@ -55,11 +64,16 @@ class _ClipIndex:
         start = int(rng.integers(0, n - seq_len + 1))
         if kind == 'frames':
             files = get_imagenames(path)[start:start + seq_len]
-            frames = []
-            for f in files:
-                img = cv2.imread(f)
-                frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-            seq = np.stack(frames)
+            seq = None
+            if _use_native():
+                from bsvd_tpu.data import native_decode
+                seq = native_decode.load_crop_seq(files)
+            if seq is None:
+                frames = []
+                for f in files:
+                    img = cv2.imread(f)
+                    frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                seq = np.stack(frames)
         else:
             cap = cv2.VideoCapture(path)
             cap.set(cv2.CAP_PROP_POS_FRAMES, start)

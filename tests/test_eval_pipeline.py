@@ -105,3 +105,22 @@ def test_eval_identity_net_psnr(synth_data, tmp_path):
     expected = 20 * np.log10(255 / (20 * 1.0))  # sigma=20/255 in [0,1] units
     # clipping at [0,1] raises PSNR slightly above the analytic value
     assert abs(mean_psnr - expected) < 1.5, (mean_psnr, expected)
+
+
+def test_native_decoder_matches_cv2(synth_data):
+    """C++ libpng/libjpeg decoder is bit-identical to cv2 (skips when the
+    native library cannot build)."""
+    import cv2
+    from bsvd_tpu.data import native_decode as nd
+    if not nd.available():
+        pytest.skip('native decoder unavailable')
+    import glob
+    paths = sorted(glob.glob(os.path.join(synth_data, 'clip00', '*.png')))
+    img = nd.decode_image(paths[0])
+    ref = cv2.cvtColor(cv2.imread(paths[0]), cv2.COLOR_BGR2RGB)
+    assert np.array_equal(img, ref)
+    seq = nd.load_crop_seq(paths, y0=4, x0=8, crop_h=32, crop_w=24)
+    assert seq.shape == (len(paths), 32, 24, 3)
+    assert np.array_equal(seq[1],
+                          cv2.cvtColor(cv2.imread(paths[1]),
+                                       cv2.COLOR_BGR2RGB)[4:36, 8:32])
