@@ -140,11 +140,11 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
                  _bibuffer_init(n, h2, w2, c1, fd, dt, causal)]
     # ring depths = pipeline in-flight count + 1 (see delays in module doc)
     if causal:
-        st['skip1'] = _ring_init(1, n, h, w, 3, dt)
+        st['skip1'] = _ring_init(1, n, h, w, cfg.residual_ch, dt)
         st['skip2'] = _ring_init(1, n, h, w, c0, dt)
         st['skip3'] = _ring_init(1, n, h2, w2, c1, dt)
     else:
-        st['skip1'] = _ring_init(d_inc + 9, n, h, w, 3, dt)
+        st['skip1'] = _ring_init(d_inc + 9, n, h, w, cfg.residual_ch, dt)
         st['skip2'] = _ring_init(9, n, h, w, c0, dt)
         st['skip3'] = _ring_init(5, n, h2, w2, c1, dt)
     return st
@@ -167,7 +167,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act):
     causal = 'toFutureOnly' in cfg.shift_mode
     new_st = dict(st)
 
-    new_st['skip1'] = _ring_push(st['skip1'], x[..., :3], valid)
+    new_st['skip1'] = _ring_push(st['skip1'], x[..., :cfg.residual_ch], valid)
 
     if cfg.shift_input:
         s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
@@ -212,8 +212,9 @@ def _stage_stream_step(p, st, x, valid, cfg, act):
     y = conv2d(o['c2'], y)
 
     new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
-    res = sk1.astype(y.dtype) - y[..., :3]
-    out = jnp.concatenate([res, y[..., 3:]], axis=-1)
+    rc = cfg.residual_ch
+    res = sk1.astype(y.dtype) - y[..., :rc]
+    out = jnp.concatenate([res, y[..., rc:]], axis=-1)
     return new_st, out, v1u
 
 

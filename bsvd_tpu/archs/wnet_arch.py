@@ -57,6 +57,10 @@ class WNetConfig:
     shift_input: bool = False
     shift_mode: str = 'TSM'    # 'none' | 'TSM' | 'TSM_toFutureOnly'
     fold_div: int = 8
+    # Channels carried through the per-stage residual (in - out). The
+    # reference hardcodes 3 (RGB; wnet_models.py:181); the raw-domain
+    # bsvd_raw variant uses 4 raw channels.
+    residual_ch: int = 3
     # Route temporal-shift convs through the fused Pallas kernel when the
     # backend/shape supports it (bsvd_tpu/ops/shift_conv.py). Semantics are
     # identical; forward is ~1.2-1.5x faster on TPU. Falls back silently.
@@ -230,9 +234,11 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
     y = act(norm_apply(cfg.norm, o['n1'], conv2d(o['c1'], x0 + x1)))
     y = conv2d(o['c2'], y)
 
-    # Residual on the first 3 (RGB) channels only (wnet_models.py:181).
-    res = x[..., :3] - y[..., :3]
-    return jnp.concatenate([res, y[..., 3:]], axis=-1)
+    # Residual on the first residual_ch (RGB/raw) channels only
+    # (wnet_models.py:181).
+    rc = cfg.residual_ch
+    res = x[..., :rc] - y[..., :rc]
+    return jnp.concatenate([res, y[..., rc:]], axis=-1)
 
 
 def wnet_apply(params, x, cfg):
@@ -364,6 +370,7 @@ class TSN(_WNetBase):
             shift_input=net2d_opt.get('shift_input', False),
             shift_mode=shift_mode,
             fold_div=shift_div,
+            residual_ch=net2d_opt.get('residual_ch', 3),
         )
         self.num_segments = num_segments
         self.enable_past_buffer = enable_past_buffer
@@ -384,12 +391,13 @@ class BSVD(_WNetBase):
     def __init__(self, chns=(32, 64, 128), mid_ch=3, shift_input=False,
                  in_ch=4, out_ch=3, norm='bn', act='relu', interm_ch=30,
                  blind=False, pretrain_ckpt=None, shift_mode='TSM',
-                 seed=0, param_dtype=jnp.float32, **kwargs):
+                 residual_ch=3, seed=0, param_dtype=jnp.float32, **kwargs):
         del kwargs
         cfg = WNetConfig(
             chns=tuple(chns), mid_ch=mid_ch, in_ch=in_ch, out_ch=out_ch,
             interm_ch=interm_ch, norm=norm, act=act, blind=blind,
-            shift_input=shift_input, shift_mode=shift_mode)
+            shift_input=shift_input, shift_mode=shift_mode,
+            residual_ch=residual_ch)
         super().__init__(cfg, seed=seed, param_dtype=param_dtype)
         if pretrain_ckpt is not None:
             self.load(pretrain_ckpt)

@@ -71,3 +71,23 @@ def test_calculate_metric_dispatch():
                            {'type': 'calculate_psnr', 'crop_border': 2,
                             'test_y_channel': False})
     assert 10 < res < 60
+
+
+def test_niqe_parity(ref_metrics):
+    """NIQE matches the reference implementation (uses the pristine params
+    from the reference checkout; skips if absent)."""
+    import os
+    if not os.path.isfile(
+            '/root/reference/BasicSR/basicsr/metrics/niqe_pris_params.npz'):
+        pytest.skip('pristine params unavailable')
+    from basicsr.metrics.niqe import calculate_niqe as ref_niqe
+    from bsvd_tpu.metrics.niqe import calculate_niqe
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:128, 0:160]
+    img = (np.sin(xx / 9.0) * np.cos(yy / 7.0) * 100 + 120
+           + rng.normal(0, 12, (128, 160)))
+    img = np.clip(np.stack([img] * 3, axis=-1)
+                  + rng.normal(0, 6, (128, 160, 3)), 0, 255).astype(np.uint8)
+    mine = calculate_niqe(img, crop_border=0)
+    theirs = ref_niqe(img, crop_border=0)
+    np.testing.assert_allclose(mine, theirs, rtol=1e-4)
