@@ -17,6 +17,8 @@ BASELINE_S = 0.353594   # reference: 10 frames of 540x960, fp16, RTX 3090
 
 
 def main():
+    from bsvd_tpu.utils.platform import setup_compilation_cache
+    setup_compilation_cache()
     import jax
     import jax.numpy as jnp
     from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_apply, wnet_init

@@ -40,8 +40,21 @@ def _bibuffer_init(n, h, w, c, fold_div, dtype, causal=False):
     }
 
 
+def _sel(cond, a, b):
+    """Select that folds away when ``cond`` is a static Python bool — the
+    client streaming path (push: always valid, flush: always invalid) then
+    compiles without any masking copies."""
+    if isinstance(cond, bool):
+        return a if cond else b
+    return jnp.where(cond, a, b)
+
+
+def _is_true(cond):
+    return isinstance(cond, bool) and cond
+
+
 def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
-                   causal=False):
+                   causal=False, assume_filled=False):
     """One streaming step of shift-conv(+norm+act).
 
     Returns (new_state, out, out_valid). Bidirectional: conv input =
@@ -49,17 +62,20 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
     Causal (toFutureOnly): conv input = [past[:2f], center[2f:]] — no future
     dependency, so the output corresponds to the *current* frame with no
     added latency (temporal_shift.py:46).
+
+    ``valid`` and ``state['has_center']`` may be traced bools (scan path) or
+    static Python bools (client path — compiles mask-free).
     """
     c = state['center'].shape[-1]
     fold = c // fold_div
-    can_compute = state['has_center']
-    xz = jnp.where(valid, x, jnp.zeros_like(x))
+    can_compute = True if assume_filled else state['has_center']
+    xz = _sel(valid, x, jnp.zeros_like(x))
 
     if causal:
         # out_t = conv([x_{t-1}[:2f], x_t[2f:]]) — operate on the live frame.
         inp = jnp.concatenate([state['left'], xz[..., 2 * fold:]], axis=-1)
         out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
-        new_left = jnp.where(valid, x[..., :2 * fold], state['left'])
+        new_left = _sel(valid, x[..., :2 * fold], state['left'])
         new_state = {'left': new_left, 'center': state['center'],
                      'has_center': state['has_center']}
         return new_state, out, valid
@@ -72,11 +88,14 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
     out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
     out_valid = can_compute
 
-    new_left = jnp.where(can_compute,
-                         state['center'][..., fold:2 * fold], state['left'])
-    new_center = jnp.where(valid, x, state['center'])
-    new_has_center = jnp.where(can_compute, valid,
-                               jnp.logical_or(state['has_center'], valid))
+    new_left = _sel(can_compute,
+                    state['center'][..., fold:2 * fold], state['left'])
+    new_center = _sel(valid, x, state['center'])
+    if isinstance(can_compute, bool) and isinstance(valid, bool):
+        new_has_center = jnp.full((), valid if can_compute else (can_compute or valid))
+    else:
+        new_has_center = jnp.where(can_compute, valid,
+                                   jnp.logical_or(state['has_center'], valid))
     return ({'left': new_left, 'center': new_center,
              'has_center': new_has_center}, out, out_valid)
 
@@ -92,11 +111,18 @@ def _ring_init(depth, n, h, w, c, dtype):
 
 def _ring_push(state, x, valid):
     depth = state['buf'].shape[0]
-    idx = jnp.where(valid, state['w'] % depth, 0)
-    new_buf = jnp.where(
-        valid,
-        lax.dynamic_update_index_in_dim(state['buf'], x.astype(state['buf'].dtype), idx, 0),
-        state['buf'])
+    idx = state['w'] % depth
+    x = x.astype(state['buf'].dtype)
+    if isinstance(valid, bool):
+        if not valid:
+            return state
+        new_buf = lax.dynamic_update_index_in_dim(state['buf'], x, idx, 0)
+        return {'buf': new_buf, 'w': state['w'] + 1, 'r': state['r']}
+    # traced validity: write the slot unconditionally but keep its old value
+    # when invalid — only one slot is touched, so no full-ring copy
+    old = lax.dynamic_index_in_dim(state['buf'], idx, 0, keepdims=False)
+    new_val = jnp.where(valid, x, old)
+    new_buf = lax.dynamic_update_index_in_dim(state['buf'], new_val, idx, 0)
     return {'buf': new_buf, 'w': state['w'] + valid.astype(jnp.int32),
             'r': state['r']}
 
@@ -105,8 +131,10 @@ def _ring_pop(state, valid):
     depth = state['buf'].shape[0]
     val = lax.dynamic_index_in_dim(state['buf'], state['r'] % depth, 0,
                                    keepdims=False)
+    adv = 1 if _is_true(valid) else (
+        0 if isinstance(valid, bool) else valid.astype(jnp.int32))
     return ({'buf': state['buf'], 'w': state['w'],
-             'r': state['r'] + valid.astype(jnp.int32)}, val)
+             'r': state['r'] + adv}, val)
 
 
 # ---------------------------------------------------------------------------
@@ -150,18 +178,20 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
     return st
 
 
-def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal):
+def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
+                assume_filled=False):
     """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149)."""
     s1, o1, v1 = _bibuffer_step(p['c1'], norm, p['n1'], act, st_pair[0], x,
-                                valid, fold_div, causal)
+                                valid, fold_div, causal, assume_filled)
     s2, o2, v2 = _bibuffer_step(p['c2'], norm, p['n2'], act, st_pair[1], o1,
-                                v1, fold_div, causal)
+                                v1, fold_div, causal, assume_filled)
     return [s1, s2], o2, v2
 
 
-def _stage_stream_step(p, st, x, valid, cfg, act):
+def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     """One frame through one DenBlock stage (streaming DenBlock.forward,
-    bsvd_arch.py:374-396)."""
+    bsvd_arch.py:374-396). ``assume_filled=True`` (static) treats every
+    buffer as primed — the steady-state client path compiles mask-free."""
     norm = cfg.norm
     fd = cfg.fold_div
     causal = 'toFutureOnly' in cfg.shift_mode
@@ -171,9 +201,11 @@ def _stage_stream_step(p, st, x, valid, cfg, act):
 
     if cfg.shift_input:
         s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
-                                    st['inc'][0], x, valid, fd, causal)
+                                    st['inc'][0], x, valid, fd, causal,
+                                    assume_filled)
         s2, x0, v0 = _bibuffer_step(p['inc']['c2'], norm, p['inc']['n2'], act,
-                                    st['inc'][1], x0, v0, fd, causal)
+                                    st['inc'][1], x0, v0, fd, causal,
+                                    assume_filled)
         new_st['inc'] = [s1, s2]
     else:
         x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
@@ -185,24 +217,25 @@ def _stage_stream_step(p, st, x, valid, cfg, act):
     d = p['down0']
     y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
-                                          y, v0, fd, causal)
+                                          y, v0, fd, causal, assume_filled)
     new_st['skip3'] = _ring_push(new_st['skip3'] if 'skip3' in new_st else st['skip3'], x1, v1)
 
     d = p['down1']
     y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
     new_st['down1'], x2, v2 = _memcv_step(d['cv'], norm, act, st['down1'],
-                                          y, v1, fd, causal)
+                                          y, v1, fd, causal, assume_filled)
 
     u = p['up2']
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
-                                        x2, v2, fd, causal)
+                                        x2, v2, fd, causal, assume_filled)
     x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
     u = p['up1']
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
-                                          x2 + sk3.astype(x2.dtype), v2, fd, causal)
+                                          x2 + sk3.astype(x2.dtype), v2, fd,
+                                          causal, assume_filled)
     x1u = pixel_shuffle(conv2d(u['conv'], x1u), 2)
 
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
@@ -228,21 +261,24 @@ def stream_init(cfg, n, h, w, dtype=jnp.float32):
             for i in range(cfg.stage_num)]
 
 
-def stream_step(params, state, x, valid, cfg):
+def stream_step(params, state, x, valid, cfg, assume_filled=False):
     """Advance the whole pipeline by one frame.
 
     Args:
         x: (N, H, W, C_in) frame (contents ignored when ``valid`` is False).
-        valid: () bool — False during drain.
+        valid: () bool — False during drain. May be a static Python bool
+            (client path) or traced (scan path).
+        assume_filled: static; treat all buffers as primed (steady state).
     Returns:
         (new_state, out (N, H, W, out_ch_of_last_stage), out_valid)
     """
     act = get_act(cfg.act)
-    valid = jnp.asarray(valid, jnp.bool_)
+    if not isinstance(valid, bool):
+        valid = jnp.asarray(valid, jnp.bool_)
     new_state = []
     for i in range(cfg.stage_num):
         st, x, valid = _stage_stream_step(params[f'stage{i}'], state[i], x,
-                                          valid, cfg, act)
+                                          valid, cfg, act, assume_filled)
         new_state.append(st)
     return new_state, x, valid
 
@@ -308,8 +344,16 @@ class StreamDenoiser:
         self._shape = (batch, height, width)
         self.dtype = dtype
         self.latency = pipeline_latency(cfg)
-        self._step = jax.jit(
-            lambda p, s, f, v: stream_step(p, s, f, v, cfg),
+        # three compiled variants: fill (traced masking), steady state
+        # (mask-free: every buffer primed, input always valid), drain
+        self._step_fill = jax.jit(
+            lambda p, s, f: stream_step(p, s, f, True, cfg),
+            donate_argnums=(1,))
+        self._step_steady = jax.jit(
+            lambda p, s, f: stream_step(p, s, f, True, cfg, assume_filled=True),
+            donate_argnums=(1,))
+        self._step_drain = jax.jit(
+            lambda p, s, f: stream_step(p, s, f, False, cfg),
             donate_argnums=(1,))
         self.reset()
 
@@ -321,7 +365,9 @@ class StreamDenoiser:
 
     def push(self, frame):
         frame = jnp.asarray(frame, self.dtype)
-        self.state, out, _ = self._step(self.params, self.state, frame, True)
+        step = (self._step_steady if self._pushed >= self.latency
+                else self._step_fill)
+        self.state, out, _ = step(self.params, self.state, frame)
         self._pushed += 1
         # Output validity is deterministic (pipeline latency), so no device
         # sync is needed per frame — the step stays fully async.
@@ -336,7 +382,7 @@ class StreamDenoiser:
         zero = jnp.zeros((n, h, w, cin), self.dtype)
         outs = []
         while self._emitted < self._pushed:
-            self.state, out, _ = self._step(self.params, self.state, zero, False)
+            self.state, out, _ = self._step_drain(self.params, self.state, zero)
             outs.append(out)
             self._emitted += 1
         return outs

@@ -211,7 +211,8 @@ class DenoisingModel(BaseModel):
         out = denoise_seq(params, self.cfg, padded_lq, noise_sigma=sigma,
                           temp_psz=val_opt.get('temp_psz', -1),
                           future_buffer_len=val_opt.get('future_buffer_len', 0),
-                          mode=mode, compute_dtype=compute_dtype)
+                          mode=mode, compute_dtype=compute_dtype,
+                          mesh=self.mesh)
         self.output = out[None, ...]
         self.crop_output(padding_list)
 

@@ -43,7 +43,8 @@ def _with_noise_map(seq_thwc, noise_sigma, cfg):
 
 
 def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
-                future_buffer_len=0, mode='mimo', compute_dtype=None):
+                future_buffer_len=0, mode='mimo', compute_dtype=None,
+                mesh=None):
     """Denoise a frame sequence.
 
     Args:
@@ -55,6 +56,9 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
             training-validation protocol, validation_seq_infer.py:54-89).
         mode: 'mimo' (batched, MXU-optimal) or 'streaming' (scan pipeline) for
             the whole-clip path.
+        mesh: optional jax Mesh; when its 'spatial' axis is >1, the frame
+            height is sharded across it for multi-chip inference (GSPMD
+            partitions the convs with automatic halo exchange over ICI).
     Returns:
         (T, out_ch, H, W) numpy float32 clamped to [0, 1].
     """
@@ -64,6 +68,12 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
     t, c, h, w = seq.shape
     x = jnp.transpose(seq, (0, 2, 3, 1))          # (T, H, W, C)
     x = _with_noise_map(x, noise_sigma, cfg)[None]  # (1, T, H, W, C')
+
+    if mesh is not None and mesh.shape.get('spatial', 1) > 1 and mode == 'mimo':
+        from bsvd_tpu.parallel.mesh import batch_sharding
+        # N=1 at inference: keep batch replicated, shard H over 'spatial'
+        x = jax.device_put(x, batch_sharding(mesh, 5, batch_axis=None,
+                                             spatial_axis=2))
 
     if temp_psz == -1 or temp_psz >= t:
         fn = _whole_clip_stream if mode == 'streaming' else _whole_clip_mimo

@@ -34,10 +34,12 @@ def make_mesh(num_devices=None, spatial=1, devices=None):
 
 
 def batch_sharding(mesh, ndim, batch_axis=0, spatial_axis=None):
-    """NamedSharding for an activation batch: dim ``batch_axis`` over 'data',
-    optional dim ``spatial_axis`` over 'spatial'."""
+    """NamedSharding for an activation batch: dim ``batch_axis`` over 'data'
+    (pass None to leave the batch replicated, e.g. N=1 inference), optional
+    dim ``spatial_axis`` over 'spatial'."""
     spec = [None] * ndim
-    spec[batch_axis] = 'data'
+    if batch_axis is not None:
+        spec[batch_axis] = 'data'
     if spatial_axis is not None and mesh.shape['spatial'] > 1:
         spec[spatial_axis] = 'spatial'
     return NamedSharding(mesh, P(*spec))

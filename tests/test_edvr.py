@@ -1,0 +1,97 @@
+"""EDVR: forward shapes/finiteness, train step with TSA warm phase, and
+sliding-window validation (the reference DCN is CUDA-only, so the deform-conv
+itself is oracle-tested in test_deform_conv.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'tools'))
+
+
+def _small_edvr(**kw):
+    from bsvd_tpu.archs import build_network
+    opt = dict(type='EDVR', num_in_ch=3, num_out_ch=3, num_feat=16,
+               num_frame=3, deformable_groups=2, num_extract_block=1,
+               num_reconstruct_block=1)
+    opt.update(kw)
+    return build_network(opt)
+
+
+def test_edvr_forward():
+    net = _small_edvr()
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 3, 3, 16, 16)),
+                    jnp.float32)
+    y = net(x)
+    assert y.shape == (1, 3, 64, 64)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_edvr_forward_no_tsa():
+    net = _small_edvr(with_tsa=False)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 3, 3, 16, 16)),
+                    jnp.float32)
+    y = net(x)
+    assert y.shape == (2, 3, 64, 64)
+
+
+def test_edvr_model_train_and_validate(tmp_path):
+    import cv2
+    from make_synth_dataset import make_clip
+    gt_root, lq_root = tmp_path / 'gt', tmp_path / 'lq'
+    for c in range(1):
+        os.makedirs(gt_root / f'{c:03d}')
+        os.makedirs(lq_root / f'{c:03d}')
+        for i, f in enumerate(make_clip(c, t=4, h=64, w=64)):
+            cv2.imwrite(str(gt_root / f'{c:03d}' / f'{i:08d}.png'),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            lq = cv2.resize(f, (16, 16), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(lq_root / f'{c:03d}' / f'{i:08d}.png'),
+                        cv2.cvtColor(lq, cv2.COLOR_RGB2BGR))
+
+    from bsvd_tpu.data import build_dataloader, build_dataset
+    from bsvd_tpu.models import build_model
+    opt = {
+        'name': 'edvr_smoke', 'model_type': 'EDVRModel', 'is_train': True,
+        'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
+        'network_g': {'type': 'EDVR', 'num_in_ch': 3, 'num_out_ch': 3,
+                      'num_feat': 16, 'num_frame': 3, 'deformable_groups': 2,
+                      'num_extract_block': 1, 'num_reconstruct_block': 1},
+        'path': {'models': str(tmp_path / 'm'),
+                 'training_states': str(tmp_path / 's'),
+                 'visualization': str(tmp_path / 'v')},
+        'train': {'optim_g': {'type': 'Adam', 'lr': 4e-4, 'betas': [0.9, 0.99]},
+                  'total_iter': 3, 'tsa_iter': 1, 'dcn_lr_mul': 0.25,
+                  'pixel_opt': {'type': 'CharbonnierLoss'}},
+        'val': {'metrics': {'psnr': {'type': 'calculate_psnr',
+                                     'crop_border': 0}}},
+        'logger': {},
+    }
+    os.makedirs(opt['path']['models'])
+    os.makedirs(opt['path']['training_states'])
+    model = build_model(opt)
+
+    rng = np.random.default_rng(0)
+    lq = rng.uniform(0, 1, (2, 3, 3, 16, 16)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    pcd_before = np.asarray(jax.tree.leaves(model.params['pcd_align'])[0])
+    for it in range(1, 4):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(it)
+        assert np.isfinite(model.log_dict['l_pix'])
+    pcd_after = np.asarray(jax.tree.leaves(model.params['pcd_align'])[0])
+    assert not np.array_equal(pcd_before, pcd_after)
+
+    val_opt = {'name': 'edvr_val', 'type': 'VideoTestDataset',
+               'dataroot_gt': str(gt_root), 'dataroot_lq': str(lq_root),
+               'num_frame': 3, 'padding': 'reflection_circle'}
+    val_set = build_dataset(val_opt)
+    val_loader = build_dataloader(val_set, val_opt)
+    res = model.nondist_validation(val_loader, 3, None, save_img=False)
+    assert np.isfinite(res['psnr'])
