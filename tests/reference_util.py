@@ -45,6 +45,8 @@ def load_reference():
     tvt = _stub('torchvision.transforms')
     tvt.__path__ = []
     _stub('torchvision.transforms.functional', normalize=lambda *a, **k: None)
+    _stub('torchvision.transforms.functional_tensor',
+          rgb_to_grayscale=lambda *a, **k: None)
     _stub('basicsr.version', __gitsha__='none', __version__='1.3.4.2')
 
     from Experimental_root.archs.archs_2d import wnet_models

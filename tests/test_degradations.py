@@ -1,0 +1,76 @@
+"""Degradation-toolbox parity vs the reference (deterministic kernel math)."""
+
+import numpy as np
+import pytest
+
+from reference_util import load_reference
+
+
+@pytest.fixture(scope='module')
+def ref_deg():
+    load_reference()
+    from basicsr.data import degradations as d
+    return d
+
+
+def test_bivariate_gaussian_parity(ref_deg):
+    from bsvd_tpu.data import degradations as mine
+    for iso in (True, False):
+        a = mine.bivariate_Gaussian(13, 1.8, 3.1, 0.7, isotropic=iso)
+        b = ref_deg.bivariate_Gaussian(13, 1.8, 3.1, 0.7, isotropic=iso)
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_generalized_and_plateau_parity(ref_deg):
+    from bsvd_tpu.data import degradations as mine
+    a = mine.bivariate_generalized_Gaussian(11, 2.0, 1.1, -0.4, 1.7,
+                                            isotropic=False)
+    b = ref_deg.bivariate_generalized_Gaussian(11, 2.0, 1.1, -0.4, 1.7,
+                                               isotropic=False)
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+    a = mine.bivariate_plateau(11, 2.0, 1.1, -0.4, 1.7, isotropic=False)
+    b = ref_deg.bivariate_plateau(11, 2.0, 1.1, -0.4, 1.7, isotropic=False)
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_sinc_kernel_parity(ref_deg):
+    from bsvd_tpu.data import degradations as mine
+    a = mine.circular_lowpass_kernel(np.pi / 3, 13, pad_to=21)
+    b = ref_deg.circular_lowpass_kernel(np.pi / 3, 13, pad_to=21)
+    np.testing.assert_allclose(a, b, rtol=1e-8)
+
+
+def test_mixed_kernels_and_noise():
+    from bsvd_tpu.data import degradations as mine
+    rng = np.random.default_rng(0)
+    k = mine.random_mixed_kernels(
+        ['iso', 'aniso', 'generalized_iso', 'generalized_aniso',
+         'plateau_iso', 'plateau_aniso'],
+        [1 / 6] * 6, kernel_size=17, rng=rng)
+    assert k.shape == (17, 17)
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+
+    img = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+    noisy = mine.random_add_gaussian_noise(img, (5, 20), gray_prob=0.5, rng=rng)
+    assert noisy.shape == img.shape and noisy.min() >= 0 and noisy.max() <= 1
+    pois = mine.add_poisson_noise(img, scale=1.0, rng=rng)
+    assert np.abs(pois - img).mean() > 0
+    jpg = mine.add_jpg_compression(img, quality=50)
+    assert jpg.shape == img.shape
+
+
+def test_gaussian_noise_jax_batched():
+    import jax
+    from bsvd_tpu.data.degradations import add_gaussian_noise_jax
+    img = jax.numpy.zeros((2, 8, 8, 3)) + 0.5
+    out = add_gaussian_noise_jax(jax.random.PRNGKey(0), img,
+                                 sigma=np.array([10., 30.]),
+                                 gray_noise=np.array([1., 0.]))
+    out = np.asarray(out)
+    # gray sample: identical noise across channels
+    diff = out[0] - 0.5
+    np.testing.assert_allclose(diff[..., 0], diff[..., 1], rtol=1e-5)
+    # non-gray: channels differ
+    assert np.abs((out[1] - 0.5)[..., 0] - (out[1] - 0.5)[..., 1]).max() > 1e-4
+    # larger sigma -> larger std
+    assert (out[1] - 0.5).std() > (out[0] - 0.5).std()
