@@ -305,3 +305,89 @@ class RRDBNet(_SRArchBase):
 
     def _apply_kwargs(self):
         return {'scale': self.opt.get('scale', 4)}
+
+
+# ---------------------------------------------------------------------------
+# RCAN (rcan_arch.py:8-133): residual groups of channel-attention blocks
+# ---------------------------------------------------------------------------
+
+def _ca_init(key, num_feat, squeeze):
+    k1, k2 = jax.random.split(key)
+    return {'attention': {
+        '1': conv_init(k1, num_feat, num_feat // squeeze, 1, True),
+        '3': conv_init(k2, num_feat // squeeze, num_feat, 1, True)}}
+
+
+def _ca_apply(p, x):
+    y = jnp.mean(x, axis=(-3, -2), keepdims=True)       # global avg pool
+    y = jnp.maximum(conv2d(p['attention']['1'], y, padding=0), 0)
+    y = jax.nn.sigmoid(conv2d(p['attention']['3'], y, padding=0))
+    return x * y
+
+
+def _rcab_init(key, num_feat, squeeze):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {'rcab': {'0': conv_init(k1, num_feat, num_feat, 3, True),
+                     '2': conv_init(k2, num_feat, num_feat, 3, True),
+                     '3': _ca_init(k3, num_feat, squeeze)}}
+
+
+def _rcab_apply(p, x, res_scale=1.0):
+    res = conv2d(p['rcab']['2'], jnp.maximum(conv2d(p['rcab']['0'], x), 0))
+    res = _ca_apply(p['rcab']['3'], res) * res_scale
+    return res + x
+
+
+def rcan_init(key, num_in_ch=3, num_out_ch=3, num_feat=64, num_group=10,
+              num_block=16, squeeze_factor=16, upscale=4):
+    keys = jax.random.split(key, num_group + 4)
+    body = {}
+    for g in range(num_group):
+        kg = jax.random.split(keys[g], num_block + 1)
+        body[str(g)] = {
+            'residual_group': {str(b): _rcab_init(kg[b], num_feat, squeeze_factor)
+                               for b in range(num_block)},
+            'conv': conv_init(kg[num_block], num_feat, num_feat, 3, True)}
+    return {
+        'conv_first': conv_init(keys[num_group], num_in_ch, num_feat, 3, True),
+        'body': body,
+        'conv_after_body': conv_init(keys[num_group + 1], num_feat, num_feat, 3, True),
+        'upsample': _upsample_init(keys[num_group + 2], upscale, num_feat),
+        'conv_last': conv_init(keys[num_group + 3], num_feat, num_out_ch, 3, True),
+    }
+
+
+def rcan_apply(p, x, upscale=4, res_scale=1.0, img_range=255.,
+               rgb_mean=(0.4488, 0.4371, 0.4040)):
+    mean = jnp.asarray(rgb_mean, x.dtype).reshape(1, 1, 1, 3)
+    x = (x - mean) * img_range
+    feat = conv2d(p['conv_first'], x)
+    res = feat
+    for g in range(len(p['body'])):
+        grp = p['body'][str(g)]
+        h = res
+        for b in range(len(grp['residual_group'])):
+            h = _rcab_apply(grp['residual_group'][str(b)], h, res_scale)
+        res = conv2d(grp['conv'], h) + res
+    res = conv2d(p['conv_after_body'], res) + feat
+    out = conv2d(p['conv_last'], _upsample_apply(p['upsample'], res, upscale))
+    return out / img_range + mean
+
+
+@ARCH_REGISTRY.register()
+class RCAN(_SRArchBase):
+    init_fn = staticmethod(rcan_init)
+    apply_fn = staticmethod(rcan_apply)
+
+    def _init_kwargs(self):
+        o = dict(self.opt)
+        for k in ('res_scale', 'img_range', 'rgb_mean'):
+            o.pop(k, None)
+        return o
+
+    def _apply_kwargs(self):
+        return {'upscale': self.opt.get('upscale', 4),
+                'res_scale': self.opt.get('res_scale', 1),
+                'img_range': self.opt.get('img_range', 255.),
+                'rgb_mean': tuple(self.opt.get('rgb_mean',
+                                               (0.4488, 0.4371, 0.4040)))}

@@ -92,3 +92,18 @@ def test_registered_wrappers():
                          'num_feat': 8, 'num_block': 1, 'upscale': 2})
     y = net(jnp.zeros((1, 3, 8, 8)))
     assert y.shape == (1, 3, 16, 16)
+
+
+def test_rcan_parity():
+    load_reference()
+    from basicsr.archs.rcan_arch import RCAN as RefNet
+    from bsvd_tpu.archs.sr_archs import rcan_apply
+    net = RefNet(num_in_ch=3, num_out_ch=3, num_feat=16, num_group=2,
+                 num_block=2, squeeze_factor=4, upscale=2).eval()
+    params = _convert(net)
+    params.pop('mean', None)
+    x = np.random.default_rng(5).uniform(0, 1, (1, 3, 12, 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = _to_np(rcan_apply(params, _nchw(x), upscale=2))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
