@@ -175,3 +175,9 @@ class SRModel(BaseModel):
             self.opt_state = jax.tree.unflatten(
                 jax.tree.structure(self.opt_state),
                 [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
+
+
+@MODEL_REGISTRY.register()
+class SwinIRModel(SRModel):
+    """SwinIR engine (reference swinir_model.py only adds window-multiple
+    padding at test time — handled inside the SwinIR arch wrapper here)."""

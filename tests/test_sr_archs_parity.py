@@ -107,3 +107,28 @@ def test_rcan_parity():
         ref = net(torch.from_numpy(x)).numpy()
     got = _to_np(rcan_apply(params, _nchw(x), upscale=2))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('upsampler', ['pixelshuffledirect', ''])
+def test_swinir_parity(upsampler):
+    load_reference()
+    from basicsr.archs.swinir_arch import SwinIR as RefNet
+    from bsvd_tpu.archs.swinir_arch import swinir_apply
+    upscale = 2 if upsampler else 1
+    net = RefNet(img_size=16, patch_size=1, in_chans=3, embed_dim=12,
+                 depths=(2, 2), num_heads=(2, 2), window_size=4,
+                 mlp_ratio=2., upscale=upscale, img_range=1.,
+                 upsampler=upsampler, resi_connection='1conv').eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()
+             if 'relative_position_index' not in k and 'attn_mask' not in k
+             and k != 'mean'}
+    from bsvd_tpu.convert.torch_generic import state_dict_to_tree
+    params = jax.tree.map(jnp.asarray, state_dict_to_tree(state))
+    x = np.random.default_rng(8).uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = swinir_apply(params, _nchw(x), in_chans=3, window_size=4,
+                       num_heads=(2, 2), mlp_ratio=2., upscale=upscale,
+                       img_range=1., upsampler=upsampler,
+                       resi_connection='1conv')
+    np.testing.assert_allclose(_to_np(got), ref, rtol=2e-3, atol=2e-4)
