@@ -31,19 +31,49 @@ def _nfchw_to_nthwc(x):
     return jnp.transpose(x, (0, 1, 3, 4, 2))
 
 
-def make_train_step(cfg, tx, cri_pix):
-    """Build the pure (params, opt_state, ema, batch, it, ema_decay) update."""
+def make_train_step(cfg, tx, cri_pix, params_template=None):
+    """Build the pure (params, opt_state, ema, batch, it, ema_decay) update.
+
+    With norm='bn' and a params template, the forward runs train-mode
+    BatchNorm and the step folds the running-stat momentum update back into
+    the params (torch BN training semantics)."""
+    bn_paths = None
+    if cfg.norm == 'bn' and params_template is not None:
+        from bsvd_tpu.nn.layers import bn_stats_with_paths, bn_training
+        resolved_paths = []
+
+        def probe(p):
+            coll = []
+            with bn_training(coll):
+                wnet_apply(p, jnp.zeros((1, 2, 8, 8, cfg.effective_in_ch)), cfg)
+            # identity-resolve against the tree as seen inside this trace
+            resolved_paths.extend(r[0] for r in bn_stats_with_paths(p, coll))
+            return 0
+        jax.eval_shape(probe, params_template)
+        bn_paths = resolved_paths
 
     def loss_fn(params, lq, gt):
-        out = wnet_apply(params, lq, cfg)
+        if bn_paths is not None:
+            from bsvd_tpu.nn.layers import bn_training
+            coll = []
+            with bn_training(coll):
+                out = wnet_apply(params, lq, cfg)
+            stats = [(m, v, n) for (_, m, v, n) in coll]
+        else:
+            out = wnet_apply(params, lq, cfg)
+            stats = []
         l_pix = cri_pix(out, gt)
-        return l_pix, {'l_pix': l_pix}
+        return l_pix, ({'l_pix': l_pix}, stats)
 
     def step(params, opt_state, ema_params, batch, it, ema_decay):
-        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch['lq'], batch['gt'])
+        (_, (loss_dict, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch['lq'], batch['gt'])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if bn_paths is not None:
+            from bsvd_tpu.nn.layers import bn_fold_running_stats
+            params = bn_fold_running_stats(
+                params, [(p, m, v, n) for p, (m, v, n) in zip(bn_paths, stats)])
         if ema_params is not None:
             ema_params = jax.tree.map(
                 lambda e, p: e * ema_decay + p * (1 - ema_decay),
@@ -117,7 +147,8 @@ class DenoisingModel(BaseModel):
         self.tx = self._build_optimizer(train_opt)
         self.opt_state = self.tx.init(self.params)
 
-        step = make_train_step(self.cfg, self.tx, self.cri_pix)
+        step = make_train_step(self.cfg, self.tx, self.cri_pix,
+                               params_template=self.params)
         repl = replicated_sharding(self.mesh)
         bsh5 = batch_sharding(self.mesh, 5, batch_axis=0, spatial_axis=2)
         self._train_step = jax.jit(

@@ -121,11 +121,73 @@ def norm_init(norm, ch, dtype=jnp.float32):
     raise ValueError(f'unknown norm {norm!r}')
 
 
+import contextlib
+
+# When set (a list), BN sites normalize by batch statistics and record
+# (param_leaf, batch_mean, batch_var, count) so the train step can fold the
+# running-stat momentum update back into the param tree (torch train-mode BN
+# semantics). Trace-time only; tracing is single-threaded.
+_BN_COLLECT = None
+
+
+@contextlib.contextmanager
+def bn_training(collector):
+    """Enable train-mode BatchNorm inside this trace; batch stats are
+    appended to ``collector``."""
+    global _BN_COLLECT
+    prev = _BN_COLLECT
+    _BN_COLLECT = collector
+    try:
+        yield collector
+    finally:
+        _BN_COLLECT = prev
+
+
+def bn_stats_with_paths(params, collector):
+    """Resolve collected (leaf, mean, var, n) entries to tree paths against
+    ``params`` (the tree whose leaves flowed through norm_apply). Paths are
+    static; call inside the same trace as the forward."""
+    id2path = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            id2path[id(node)] = path
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+    walk(params, ())
+    return [(id2path[id(leaf)], m, v, n) for leaf, m, v, n in collector]
+
+
+def bn_fold_running_stats(params, path_stats, momentum=0.1):
+    """Return params with running mean/var at ``path_stats`` paths updated
+    (unbiased var, torch convention)."""
+    import copy
+    out = copy.copy(params) if isinstance(params, dict) else params
+    for path, m, v, n in path_stats:
+        if n > 1:
+            v = v * n / (n - 1)
+        node = out
+        for p in path[:-1]:
+            child = node[p]
+            child = copy.copy(child) if isinstance(child, dict) else list(child)
+            node[p] = child
+            node = child
+        leaf = dict(node[path[-1]])
+        leaf['mean'] = (1 - momentum) * leaf['mean'] + momentum * m
+        leaf['var'] = (1 - momentum) * leaf['var'] + momentum * v
+        node[path[-1]] = leaf
+    return out
+
+
 def norm_apply(norm, params, x, eps=1e-5):
-    """Apply a norm over NHWC input (inference semantics).
+    """Apply a norm over NHWC input.
 
     'in': per-sample per-channel spatial normalization (InstanceNorm2d
-    affine=False). 'bn': running-stats batchnorm (eval mode).
+    affine=False). 'bn': running-stats batchnorm in eval; batch-stats when
+    inside a ``bn_training`` context (stats recorded for the caller).
     """
     if norm == 'none':
         return x
@@ -134,8 +196,20 @@ def norm_apply(norm, params, x, eps=1e-5):
         var = jnp.var(x, axis=(-3, -2), keepdims=True)
         return (x - mean) * lax.rsqrt(var + eps)
     if norm == 'bn':
-        mean = params['mean'].astype(x.dtype)
-        var = params['var'].astype(x.dtype)
+        if _BN_COLLECT is not None:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            count = 1
+            for d in axes:
+                count *= x.shape[d]
+            _BN_COLLECT.append((params, mean.astype(jnp.float32),
+                                var.astype(jnp.float32), count))
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
+        else:
+            mean = params['mean'].astype(x.dtype)
+            var = params['var'].astype(x.dtype)
         y = (x - mean) * lax.rsqrt(var + jnp.asarray(eps, x.dtype))
         return y * params['scale'].astype(x.dtype) + params['bias'].astype(x.dtype)
     raise ValueError(f'unknown norm {norm!r}')

@@ -134,3 +134,75 @@ def test_train_step_loss_decreases(train_data, tmp_path):
         model.optimize_parameters(it)
         losses.append(model.log_dict['l_pix'])
     assert losses[-1] < losses[0], losses
+
+
+def test_bn_training_updates_running_stats(train_data, tmp_path):
+    """norm='bn' trains with batch stats and folds running-stat updates
+    (torch BN train semantics); eval uses the running stats."""
+    from bsvd_tpu.data import build_dataset
+    from bsvd_tpu.models import build_model
+    from bsvd_tpu.utils.options import parse_options
+    opt_path = _train_opt(train_data, tmp_path)
+    opt, _ = parse_options(str(tmp_path), is_train=True, opt_path=opt_path)
+    opt['network_g']['net2d_opt']['norm'] = 'bn'
+    os.makedirs(opt['path']['models'], exist_ok=True)
+    os.makedirs(opt['path']['training_states'], exist_ok=True)
+    model = build_model(opt)
+    loader = build_dataset({**opt['datasets']['train'], 'num_devices': 2,
+                            'manual_seed': 0})
+    batch = next(iter(loader))
+    loader.close()
+    mean_before = np.array(model.params['stage0']['inc']['n1']['mean'])
+    var_before = np.array(model.params['stage0']['inc']['n1']['var'])
+    for it in range(1, 3):
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+        assert np.isfinite(model.log_dict['l_pix'])
+    mean_after = np.asarray(model.params['stage0']['inc']['n1']['mean'])
+    var_after = np.asarray(model.params['stage0']['inc']['n1']['var'])
+    assert not np.allclose(mean_after, mean_before)
+    assert not np.allclose(var_after, var_before)
+
+
+def test_bn_eval_parity_vs_torch(train_data, tmp_path):
+    """Converted BN checkpoints reproduce torch eval-mode outputs."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from reference_util import SMALL_NET2D_OPT, load_reference
+    torch = pytest.importorskip('torch')
+    ref = load_reference()
+    import jax, jax.numpy as jnp
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_apply
+    from bsvd_tpu.convert.torch_ckpt import convert_tsn_state_dict
+
+    opt = dict(SMALL_NET2D_OPT, norm='bn', act='relu')
+    tsn = ref.tsm_arch.TSN(num_segments=4, base_model='WNet_multistage',
+                           shift_type='TSM', shift_div=8, net2d_opt=opt)
+    # randomize running stats so eval parity is meaningful
+    with torch.no_grad():
+        for m in tsn.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    tsn.train()  # train-mode SHIFT path, but we compare with eval-mode BN:
+    tsn.eval()
+    cfg = WNetConfig(chns=tuple(opt['chns']), mid_ch=opt['mid_ch'], in_ch=4,
+                     out_ch=3, stage_num=2, interm_ch=opt['interm_ch'],
+                     norm='bn', act='relu', shift_mode='TSM')
+    state = {k: v.detach().numpy() for k, v in tsn.state_dict().items()
+             if 'num_batches_tracked' not in k}
+    params = jax.tree.map(jnp.asarray, convert_tsn_state_dict(state, cfg))
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 4, 4, 16, 16)).astype(np.float32)
+    # eval mode in reference uses batch_shift with queue; force train-shift by
+    # comparing against manual eval: run reference modules in train shift but
+    # BN eval via torch's eval... simplest: reference eval-mode with the
+    # global queue initialized for one chunk equals whole-segment shift
+    gq = ref.global_queue_buffer
+    gq._init(0)
+    gq.set_batch_index(0)
+    with torch.no_grad():
+        ref_out = tsn(torch.from_numpy(x.reshape(4, 4, 16, 16))).numpy()
+    mine = wnet_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))), cfg)
+    got = np.transpose(np.asarray(mine), (0, 1, 4, 2, 3)).reshape(ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-4)
