@@ -9,6 +9,8 @@ internally; the registered wrappers accept the reference's NCHW."""
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -391,3 +393,81 @@ class RCAN(_SRArchBase):
                 'img_range': self.opt.get('img_range', 255.),
                 'rgb_mean': tuple(self.opt.get('rgb_mean',
                                                (0.4488, 0.4371, 0.4040)))}
+
+
+# ---------------------------------------------------------------------------
+# RIDNet (ridnet_arch.py:8-198): enhancement attention modules (EAM)
+# ---------------------------------------------------------------------------
+
+def _mean_shift_params(img_range, rgb_mean, rgb_std, sign=-1):
+    std = np.asarray(rgb_std, np.float32)
+    w = np.eye(3, dtype=np.float32).reshape(1, 1, 3, 3) / std.reshape(1, 1, 3, 1)
+    b = sign * img_range * np.asarray(rgb_mean, np.float32) / std
+    return {'w': jnp.asarray(w), 'b': jnp.asarray(b)}
+
+
+def _eam_init(key, cin, mid, cout):
+    keys = jax.random.split(key, 10)
+    return {
+        'merge': {
+            'dilation1': {'0': conv_init(keys[0], cin, mid, 3, True),
+                          '2': conv_init(keys[1], mid, mid, 3, True)},
+            'dilation2': {'0': conv_init(keys[2], cin, mid, 3, True),
+                          '2': conv_init(keys[3], mid, mid, 3, True)},
+            'aggregation': {'0': conv_init(keys[4], mid * 2, mid, 3, True)},
+        },
+        'block1': res_block_init(keys[5], mid, pytorch_init=True),
+        'block2': {'body': {'0': conv_init(keys[6], mid, cout, 3, True),
+                            '2': conv_init(keys[7], cout, cout, 3, True),
+                            '4': conv_init(keys[8], cout, cout, 1, True)}},
+        'ca': _ca_init(keys[9], cout, 16),
+    }
+
+
+def _eam_apply(p, x):
+    relu = lambda v: jnp.maximum(v, 0)  # noqa: E731
+    m = p['merge']
+    d1 = relu(conv2d(m['dilation1']['2'],
+                     relu(conv2d(m['dilation1']['0'], x)),
+                     padding=2, dilation=2))
+    d2 = relu(conv2d(m['dilation2']['2'],
+                     relu(conv2d(m['dilation2']['0'], x, padding=3, dilation=3)),
+                     padding=4, dilation=4))
+    out = relu(conv2d(m['aggregation']['0'],
+                      jnp.concatenate([d1, d2], axis=-1))) + x
+    out = relu(res_block_apply(p['block1'], out))
+    b = p['block2']['body']
+    eres = conv2d(b['4'], relu(conv2d(b['2'], relu(conv2d(b['0'], out)))),
+                  padding=0)
+    out = relu(eres + out)
+    return _ca_apply(p['ca'], out)
+
+
+def ridnet_init(key, in_channels=3, mid_channels=64, out_channels=3,
+                num_block=4, img_range=255., rgb_mean=(0.4488, 0.4371, 0.4040),
+                rgb_std=(1.0, 1.0, 1.0)):
+    keys = jax.random.split(key, num_block + 2)
+    return {
+        'sub_mean': _mean_shift_params(img_range, rgb_mean, rgb_std, -1),
+        'add_mean': _mean_shift_params(img_range, rgb_mean, rgb_std, 1),
+        'head': conv_init(keys[0], in_channels, mid_channels, 3, True),
+        'body': {str(i): _eam_init(keys[1 + i], mid_channels, mid_channels,
+                                   mid_channels) for i in range(num_block)},
+        'tail': conv_init(keys[num_block + 1], mid_channels, out_channels, 3, True),
+    }
+
+
+def ridnet_apply(p, x):
+    res = conv2d(p['sub_mean'], x, padding=0)
+    res = jnp.maximum(conv2d(p['head'], res), 0)
+    for i in range(len(p['body'])):
+        res = _eam_apply(p['body'][str(i)], res)
+    res = conv2d(p['tail'], res)
+    res = conv2d(p['add_mean'], res, padding=0)
+    return x + res
+
+
+@ARCH_REGISTRY.register()
+class RIDNet(_SRArchBase):
+    init_fn = staticmethod(ridnet_init)
+    apply_fn = staticmethod(ridnet_apply)

@@ -23,7 +23,7 @@ from jax import lax
 _DIMSPEC = ('NHWC', 'HWIO', 'NHWC')
 
 
-def conv2d(params, x, stride=1, padding=1, groups=1):
+def conv2d(params, x, stride=1, padding=1, groups=1, dilation=1):
     """3x3 (or kxk) conv over NHWC with torch-style symmetric padding.
 
     Args:
@@ -32,6 +32,7 @@ def conv2d(params, x, stride=1, padding=1, groups=1):
         stride: int spatial stride.
         padding: int symmetric spatial pad (torch Conv2d ``padding=``).
         groups: feature group count.
+        dilation: kernel (rhs) dilation.
     """
     w = params['w']
     lead = x.shape[:-3]
@@ -40,6 +41,7 @@ def conv2d(params, x, stride=1, padding=1, groups=1):
         xm, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=_DIMSPEC,
         feature_group_count=groups,
     )

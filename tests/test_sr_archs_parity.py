@@ -132,3 +132,17 @@ def test_swinir_parity(upsampler):
                        img_range=1., upsampler=upsampler,
                        resi_connection='1conv')
     np.testing.assert_allclose(_to_np(got), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_ridnet_parity():
+    load_reference()
+    from basicsr.archs.ridnet_arch import RIDNet as RefNet
+    from bsvd_tpu.archs.sr_archs import ridnet_apply
+    net = RefNet(in_channels=3, mid_channels=16, out_channels=3,
+                 num_block=2).eval()
+    params = _convert(net)
+    x = np.random.default_rng(9).uniform(0, 1, (1, 3, 20, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = _to_np(ridnet_apply(params, _nchw(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

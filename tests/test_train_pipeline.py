@@ -206,3 +206,40 @@ def test_bn_eval_parity_vs_torch(train_data, tmp_path):
     mine = wnet_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))), cfg)
     got = np.transpose(np.asarray(mine), (0, 1, 4, 2, 3)).reshape(ref_out.shape)
     np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_auto_resume(train_data, tmp_path):
+    """Training resumes from the latest .state: iter counter, optimizer
+    state, and params all restored (reference train_pipeline.py:72-92)."""
+    from bsvd_tpu.train import train_pipeline
+    from bsvd_tpu.models import latest_resume_state
+    from bsvd_tpu.models.checkpoint import load_training_state
+    import jax
+
+    opt_path = _train_opt(train_data, tmp_path, total_iter=4)
+    old_cwd = os.getcwd()
+    os.chdir(tmp_path)   # auto-resume scans experiments/<name> relative to cwd
+    try:
+        model1 = train_pipeline(str(tmp_path), opt_path=opt_path)
+        state_dir = str(tmp_path / 'experiments' / 'smoke_train' /
+                        'training_states')
+        latest = latest_resume_state(state_dir)
+        assert latest and latest.endswith('4.state')
+        st = load_training_state(latest)
+        assert st['iter'] == 4
+
+        # simulate a restart with a higher total_iter and auto_resume
+        opt_path2 = _train_opt(train_data, tmp_path, total_iter=6)
+        import yaml as _yaml
+        opt = _yaml.safe_load(open(opt_path2))
+        opt['name'] = 'smoke_train'
+        open(opt_path2, 'w').write(_yaml.safe_dump(opt))
+        from bsvd_tpu.utils.options import parse_options
+        o2, _ = parse_options(str(tmp_path), is_train=True, opt_path=opt_path2)
+        o2['auto_resume'] = True
+        from bsvd_tpu.train import load_resume_state
+        rs = load_resume_state(o2)
+        assert rs is not None and rs['iter'] == 4
+        assert o2['path']['pretrain_network_g'].endswith('net_g_4.npz')
+    finally:
+        os.chdir(old_cwd)
