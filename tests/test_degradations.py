@@ -74,3 +74,26 @@ def test_gaussian_noise_jax_batched():
     assert np.abs((out[1] - 0.5)[..., 0] - (out[1] - 0.5)[..., 1]).max() > 1e-4
     # larger sigma -> larger std
     assert (out[1] - 0.5).std() > (out[0] - 0.5).std()
+
+
+def test_diffjpeg_parity():
+    """jnp DiffJPEG matches the reference torch implementation."""
+    load_reference()
+    import torch
+    from basicsr.utils.diffjpeg import DiffJPEG as RefJpeg
+    from bsvd_tpu.utils.diffjpeg import DiffJPEG
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, 3, 20, 28)).astype(np.float32)
+    q = np.array([20., 75.], np.float32)
+    ref = RefJpeg(differentiable=False)
+    with __import__('torch').no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(q.copy())).numpy()
+    got = np.asarray(DiffJPEG(differentiable=False)(x, q))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # differentiable variant must have finite grads
+    import jax, jax.numpy as jnp
+    from bsvd_tpu.utils.diffjpeg import diff_jpeg
+    g = jax.grad(lambda v: jnp.sum(diff_jpeg(v, 50.)))(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert bool(jnp.isfinite(g).all())
