@@ -81,7 +81,7 @@ class SRGANModel(SRModel):
         self.opt_state_d = self.tx_d.init(self.d_params)
 
         g_apply = self.net.apply
-        d_apply = self.net_d.apply
+        d_apply = self._d_apply()
         cri_pix, cri_gan = self.cri_pix, self.cri_gan
         tx_g, tx_d = self.tx_g, self.tx_d
         relativistic = self.relativistic
@@ -151,14 +151,23 @@ class SRGANModel(SRModel):
             return gp, g_opt, dp, d_opt, ema, {**g_losses, **d_losses}
 
         repl = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh, 4, batch_axis=0)
-        self._batch_sharding = {'lq': bsh, 'gt': bsh}
+        self._batch_sharding = self._batch_shardings()
         self._train_step = jax.jit(
             step,
             in_shardings=(repl, repl, repl, repl, repl, self._batch_sharding,
                           None, None),
             out_shardings=(repl, repl, repl, repl, repl, repl),
             donate_argnums=(0, 1, 2, 3, 4))
+
+    # ---- subclass hooks ---------------------------------------------- #
+    def _d_apply(self):
+        """Discriminator apply fn used inside the step (subclasses may wrap,
+        e.g. to flatten video sequences into frame batches)."""
+        return self.net_d.apply
+
+    def _batch_shardings(self):
+        bsh = batch_sharding(self.mesh, 4, batch_axis=0)
+        return {'lq': bsh, 'gt': bsh}
 
     def optimize_parameters(self, current_iter):
         self.current_iter = current_iter

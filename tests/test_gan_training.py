@@ -99,3 +99,47 @@ def test_gan_train_step(model_type, disc, tmp_path):
                               np.asarray(jax.tree.leaves(model.d_params)[0]))
     model.save(0, 3)
     assert (tmp_path / 'm' / 'net_d_3.npz').exists()
+
+
+@pytest.mark.parametrize('model_type,g_net,lq_shape,gt_shape', [
+    ('VideoGANModel',
+     {'type': 'EDVR', 'num_in_ch': 3, 'num_out_ch': 3, 'num_feat': 8,
+      'num_frame': 3, 'deformable_groups': 2, 'num_extract_block': 1,
+      'num_reconstruct_block': 1},
+     (1, 3, 3, 16, 16), (1, 3, 64, 64)),
+    ('VideoRecurrentGANModel',
+     {'type': 'BasicVSR', 'num_feat': 8, 'num_block': 1},
+     (1, 2, 3, 34, 34), (1, 2, 3, 136, 136)),
+])
+def test_video_gan_models(model_type, g_net, lq_shape, gt_shape, tmp_path):
+    import os
+    from bsvd_tpu.models import build_model
+    opt = {
+        'name': 'vgan_smoke', 'model_type': model_type, 'is_train': True,
+        'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
+        'network_g': g_net,
+        'network_d': {'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                      'num_feat': 8},
+        'path': {'models': str(tmp_path / 'm'),
+                 'training_states': str(tmp_path / 's')},
+        'train': {
+            'optim_g': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+            'optim_d': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+            'total_iter': 2, 'net_d_iters': 1, 'net_d_init_iters': 0,
+            'pixel_opt': {'type': 'L1Loss', 'loss_weight': 1.0},
+            'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                        'loss_weight': 0.005},
+        },
+        'logger': {},
+    }
+    os.makedirs(opt['path']['models'])
+    os.makedirs(opt['path']['training_states'])
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    lq = rng.uniform(0, 1, lq_shape).astype(np.float32)
+    gt = rng.uniform(0, 1, gt_shape).astype(np.float32)
+    for it in range(1, 3):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(it)
+        assert np.isfinite(model.log_dict['l_g_gan'])
+        assert np.isfinite(model.log_dict['l_d_real'])
