@@ -48,10 +48,12 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     k = jnp.asarray(kernel, x.dtype)[::-1, ::-1]          # correlation->conv flip
     k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))        # HWIO depthwise
 
+    # torch's upfirdn zero-stuffs AFTER every sample (trailing up-1 zeros);
+    # lhs_dilation only inserts zeros between samples, so extend the high pad
     y = lax.conv_general_dilated(
         x, k,
         window_strides=(down[0], down[1]),
-        padding=((pad_y0, pad_y1), (pad_x0, pad_x1)),
+        padding=((pad_y0, pad_y1 + up[0] - 1), (pad_x0, pad_x1 + up[1] - 1)),
         lhs_dilation=(up[0], up[1]),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=c,
