@@ -81,3 +81,20 @@ def test_basicvsr_parity():
                          num_feat=16)
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 1, 4, 2, 3)),
                                ref, rtol=1e-3, atol=1e-3)
+
+
+def test_duf_parity():
+    load_reference()
+    from basicsr.archs.duf_arch import DUF as RefNet
+    from bsvd_tpu.archs.duf_arch import convert_duf_state, duf_apply
+    net = RefNet(scale=4, num_layer=16).eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_duf_state(state))
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 1, (1, 7, 3, 12, 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = duf_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+                    scale=4)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-3, atol=2e-4)
