@@ -98,3 +98,30 @@ def test_duf_parity():
                     scale=4)
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref, rtol=2e-3, atol=2e-4)
+
+
+def test_toflow_parity():
+    load_reference()
+    from basicsr.archs.tof_arch import TOFlow as RefNet
+    from bsvd_tpu.archs.tof_arch import toflow_apply
+    from bsvd_tpu.archs.duf_arch import convert_duf_state
+    net = RefNet().eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()
+             if k not in ('mean', 'std')}
+    tree = convert_duf_state(state)
+
+    def fix(node):
+        if isinstance(node, dict):
+            if 'w' in node and getattr(node['w'], 'ndim', 0) == 4:
+                node = dict(node, w=np.transpose(node['w'], (2, 3, 1, 0)))
+            return {k: fix(v) if isinstance(v, dict) else v
+                    for k, v in node.items()}
+        return node
+    params = jax.tree.map(jnp.asarray, fix(tree))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (1, 7, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = toflow_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-3, atol=2e-3)
