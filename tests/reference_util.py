@@ -37,8 +37,63 @@ def load_reference():
     sys.path.insert(0, REFERENCE_ROOT)
     sys.path.insert(0, REFERENCE_ROOT + '/BasicSR')
 
-    tv = _stub('torchvision')
+    import torch
+    import torch.nn.functional as F
+
+    def deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                      padding=(1, 1), dilation=(1, 1), mask=None):
+        """torch-native modulated deform conv (torchvision.ops.deform_conv2d
+        semantics) so the reference's DCNv2Pack runs on CPU."""
+        if isinstance(stride, int):
+            stride = (stride, stride)
+        if isinstance(padding, int):
+            padding = (padding, padding)
+        if isinstance(dilation, int):
+            dilation = (dilation, dilation)
+        n, c, h, w = input.shape
+        cout, _, kh, kw = weight.shape
+        k = kh * kw
+        ho, wo = offset.shape[2:]
+        dg = offset.shape[1] // (2 * k)
+        cg = c // dg
+        off = offset.view(n, dg, k, 2, ho, wo)
+        msk = None if mask is None else mask.view(n, dg, k, ho, wo)
+        ys = torch.arange(ho, dtype=input.dtype) * stride[0] - padding[0]
+        xs = torch.arange(wo, dtype=input.dtype) * stride[1] - padding[1]
+        base_y, base_x = torch.meshgrid(ys, xs, indexing='ij')
+        cols = []
+        for ki in range(kh):
+            for kj in range(kw):
+                t = ki * kw + kj
+                per_g = []
+                for g in range(dg):
+                    yy = base_y + ki * dilation[0] + off[:, g, t, 0]
+                    xx = base_x + kj * dilation[1] + off[:, g, t, 1]
+                    gx = 2 * xx / max(w - 1, 1) - 1
+                    gy = 2 * yy / max(h - 1, 1) - 1
+                    grid = torch.stack([gx, gy], dim=-1)
+                    s = F.grid_sample(input[:, g * cg:(g + 1) * cg], grid,
+                                      mode='bilinear', padding_mode='zeros',
+                                      align_corners=True)
+                    if msk is not None:
+                        s = s * msk[:, g, t].unsqueeze(1)
+                    per_g.append(s)
+                cols.append(torch.cat(per_g, dim=1))
+        col = torch.stack(cols, dim=1)              # (n, k, c, ho, wo)
+        # torch weight (cout, cin, kh, kw) flattens cin-major: index ci*k + t
+        w_mat = weight.view(cout, c * k)
+        col = col.permute(0, 3, 4, 2, 1).reshape(n, ho * wo, c * k)
+        out = col @ w_mat.t()
+        out = out.view(n, ho, wo, cout).permute(0, 3, 1, 2)
+        if bias is not None:
+            out = out + bias.view(1, -1, 1, 1)
+        return out
+
+    # NOTE: the reference compares versions as strings, so use '0.9.0'+
+    # lexicographically ('0.15.0' would compare BELOW '0.9.0')
+    tv = _stub('torchvision', __version__='0.9.9')
     tv.__path__ = []
+    tv.ops = _stub('torchvision.ops', deform_conv2d=deform_conv2d)
     _stub('torchvision.utils', make_grid=lambda *a, **k: None)
     _stub('torchvision.models', vgg=types.SimpleNamespace(vgg19=None))
     _stub('torchvision.models.vgg', VGG=object, vgg19=None)

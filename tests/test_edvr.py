@@ -6,10 +6,9 @@ import os
 import sys
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'tools'))
@@ -95,3 +94,30 @@ def test_edvr_model_train_and_validate(tmp_path):
     val_loader = build_dataloader(val_set, val_opt)
     res = model.nondist_validation(val_loader, 3, None, save_img=False)
     assert np.isfinite(res['psnr'])
+
+
+def test_edvr_full_parity():
+    """Full EDVR (PCD + TSA + DCN) vs the reference torch net (the stub
+    provides a torch-native deform_conv2d with the same consumption layout)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_util import load_reference
+    torch = pytest.importorskip('torch')
+    load_reference()
+    from basicsr.archs.edvr_arch import EDVR as RefNet
+    from bsvd_tpu.archs.edvr_arch import edvr_apply
+    from bsvd_tpu.convert.torch_generic import state_dict_to_tree
+
+    net = RefNet(num_in_ch=3, num_out_ch=3, num_feat=16, num_frame=5,
+                 deformable_groups=4, num_extract_block=1,
+                 num_reconstruct_block=1, with_tsa=True).eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, state_dict_to_tree(state))
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 1, (1, 5, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = edvr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+                     center_frame_idx=2, deformable_groups=4, with_tsa=True)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-3, atol=2e-3)

@@ -125,3 +125,21 @@ def test_toflow_parity():
     got = toflow_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref, rtol=2e-3, atol=2e-3)
+
+
+def test_iconvsr_parity():
+    load_reference()
+    from basicsr.archs.basicvsr_arch import IconVSR as RefNet
+    from bsvd_tpu.archs.basicvsr_arch import iconvsr_apply
+    # the reference extractor hardcodes 64 feature channels, so num_feat=64
+    net = RefNet(num_feat=64, num_block=1, keyframe_stride=3,
+                 temporal_padding=2, spynet_path=None, edvr_path=None).eval()
+    params = _convert(net)
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 1, (1, 5, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = iconvsr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+                        num_feat=64, keyframe_stride=3, temporal_padding=2)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 1, 4, 2, 3)),
+                               ref, rtol=2e-3, atol=2e-3)
