@@ -1,0 +1,80 @@
+"""HiFaceGAN parity vs the reference torch implementation (CPU; spectral
+norm folded into effective weights for eval)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reference_util import load_reference
+
+torch = pytest.importorskip('torch')
+
+
+def _fold_spectral_norm(state):
+    """Fold torch spectral_norm triplets (weight_orig/u/v) into effective
+    weights: w = w_orig / (u^T W v)."""
+    out = {}
+    for k in list(state):
+        if k.endswith('weight_orig'):
+            base = k[:-len('_orig')]
+            w = state[k]
+            u = state[base + '_u']
+            v = state[base + '_v']
+            w_mat = w.reshape(w.shape[0], -1)
+            sigma = float(u @ w_mat @ v)
+            out[base] = w / sigma
+        elif k.endswith('weight_u') or k.endswith('weight_v'):
+            continue
+        else:
+            out[k] = state[k]
+    return out
+
+
+def _to_tree(state):
+    from bsvd_tpu.convert.torch_generic import state_dict_to_tree
+    return jax.tree.map(jnp.asarray, state_dict_to_tree(state))
+
+
+def test_hifacegan_generator_parity():
+    load_reference()
+    from basicsr.archs.hifacegan_arch import HiFaceGAN as RefNet
+    from bsvd_tpu.archs.hifacegan_arch import hifacegan_apply
+    net = RefNet(num_in_ch=3, num_feat=4, crop_size=64, is_train=False).eval()
+    state = _fold_spectral_norm(
+        {k: v.detach().numpy() for k, v in net.state_dict().items()})
+    params = _to_tree(state)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = hifacegan_apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                          scale_ratio=5, phase=4)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-3, atol=2e-3)
+
+
+def test_hifacegan_discriminator_parity():
+    load_reference()
+    from basicsr.archs.hifacegan_arch import HiFaceGANDiscriminator as RefNet
+    from bsvd_tpu.archs.hifacegan_arch import hifacegan_discriminator_apply
+    net = RefNet(num_in_ch=3, num_out_ch=3, num_d=2, n_layers_d=3,
+                 num_feat=8).eval()
+    state = _fold_spectral_norm(
+        {k: v.detach().numpy() for k, v in net.state_dict().items()})
+    params = _to_tree(state)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 6, 64, 64)).astype(np.float32)  # conditional: 3+3
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+    got = hifacegan_discriminator_apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), num_d=2,
+        n_layers_d=3)
+    assert len(got) == len(ref) == 2
+    for d_got, d_ref in zip(got, ref):
+        assert len(d_got) == len(d_ref)
+        for t_got, t_ref in zip(d_got, d_ref):
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(t_got), (0, 3, 1, 2)), t_ref.numpy(),
+                rtol=2e-3, atol=2e-3)
