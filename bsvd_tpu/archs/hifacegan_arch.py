@@ -246,6 +246,11 @@ class HiFaceGAN:
     def __call__(self, x):
         return self.apply(self.params, x)
 
+    def load(self, path, param_key='params'):
+        from bsvd_tpu.convert.torch_generic import load_torch_generic
+        self.params = load_torch_generic(path, self.params, param_key)
+        return self
+
 
 @ARCH_REGISTRY.register()
 class HiFaceGANDiscriminator:
@@ -272,3 +277,8 @@ class HiFaceGANDiscriminator:
 
     def __call__(self, x):
         return self.apply(self.params, x)[0]
+
+    def load(self, path, param_key='params'):
+        from bsvd_tpu.convert.torch_generic import load_torch_generic
+        self.params = load_torch_generic(path, self.params, param_key)
+        return self

@@ -7,12 +7,12 @@ from bsvd_tpu.losses import losses  # noqa: F401  (registers losses)
 from bsvd_tpu.losses import gan_loss  # noqa: F401  (registers GAN losses)
 from bsvd_tpu.losses.losses import (CharbonnierLoss, L1Loss, MSELoss, PSNRLoss,  # noqa: F401
                                     WeightedTVLoss)
-from bsvd_tpu.losses.gan_loss import (GANLoss, MultiScaleGANLoss,  # noqa: F401
+from bsvd_tpu.losses.gan_loss import (GANFeatLoss, GANLoss, MultiScaleGANLoss,  # noqa: F401
                                       g_path_regularize, gradient_penalty_loss,
                                       r1_penalty)
 
 __all__ = ['build_loss', 'L1Loss', 'MSELoss', 'CharbonnierLoss', 'WeightedTVLoss',
-           'PSNRLoss', 'GANLoss', 'MultiScaleGANLoss']
+           'PSNRLoss', 'GANLoss', 'MultiScaleGANLoss', 'GANFeatLoss']
 
 
 def build_loss(opt):

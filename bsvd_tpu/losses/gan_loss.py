@@ -111,3 +111,34 @@ def g_path_regularize(gen_fn, latents, mean_path_length, key, decay=0.01):
     path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
     penalty = jnp.mean((path_lengths - path_mean)**2)
     return penalty, path_lengths, path_mean
+
+
+@LOSS_REGISTRY.register()
+class GANFeatLoss:
+    """Feature-matching loss over multi-scale discriminator intermediates
+    (reference losses.py:462-494): for each discriminator, L1/L2/Charbonnier
+    between fake and (detached) real features of every layer but the last."""
+
+    def __init__(self, criterion='l1', loss_weight=1.0, reduction='mean'):
+        from bsvd_tpu.losses.losses import CharbonnierLoss, L1Loss, MSELoss
+        if criterion == 'l1':
+            self.loss_op = L1Loss(loss_weight, reduction)
+        elif criterion == 'l2':
+            self.loss_op = MSELoss(loss_weight, reduction)
+        elif criterion == 'charbonnier':
+            self.loss_op = CharbonnierLoss(loss_weight, reduction)
+        else:
+            raise ValueError(f'Unsupported loss mode: {criterion}. '
+                             'Supported ones are: l1|l2|charbonnier')
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred_fake, pred_real):
+        num_d = len(pred_fake)
+        loss = 0.0
+        for i in range(num_d):
+            # the last tensor is the final prediction — exclude it
+            for j in range(len(pred_fake[i]) - 1):
+                loss = loss + self.loss_op(
+                    pred_fake[i][j],
+                    jax.lax.stop_gradient(pred_real[i][j])) / num_d
+        return loss * self.loss_weight

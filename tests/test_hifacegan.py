@@ -78,3 +78,51 @@ def test_hifacegan_discriminator_parity():
             np.testing.assert_allclose(
                 np.transpose(np.asarray(t_got), (0, 3, 1, 2)), t_ref.numpy(),
                 rtol=2e-3, atol=2e-3)
+
+def test_hifacegan_train_step(tmp_path):
+    """Engine smoke: G+D step with pixel, multiscale-GAN and feature-matching
+    losses; both param sets move and all losses are finite."""
+    import os
+    from bsvd_tpu.models import build_model
+    opt = {
+        'name': 'hifacegan_smoke', 'model_type': 'HiFaceGANModel',
+        'is_train': True, 'num_gpu': 1, 'manual_seed': 0, 'scale': 1,
+        'network_g': {'type': 'HiFaceGAN', 'num_in_ch': 3, 'num_feat': 4,
+                      'crop_size': 64, 'is_train': True},
+        'network_d': {'type': 'HiFaceGANDiscriminator', 'num_in_ch': 3,
+                      'num_out_ch': 3, 'num_d': 2, 'n_layers_d': 3,
+                      'num_feat': 8},
+        'path': {'models': str(tmp_path / 'm'),
+                 'training_states': str(tmp_path / 's')},
+        'train': {
+            'optim_g': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+            'optim_d': {'type': 'Adam', 'lr': 4e-4, 'betas': [0.9, 0.99]},
+            'total_iter': 3, 'net_d_iters': 1, 'net_d_init_iters': 0,
+            'pixel_opt': {'type': 'L1Loss', 'loss_weight': 1.0},
+            'gan_opt': {'type': 'MultiScaleGANLoss', 'gan_type': 'hinge',
+                        'loss_weight': 0.1},
+            'feature_matching_opt': {'type': 'GANFeatLoss', 'criterion': 'l1',
+                                     'loss_weight': 10.0},
+        },
+        'logger': {},
+    }
+    os.makedirs(opt['path']['models'])
+    os.makedirs(opt['path']['training_states'])
+    model = build_model(opt)
+    rng = np.random.default_rng(3)
+    lq = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    g_before = np.asarray(jax.tree.leaves(model.params)[0])
+    d_before = np.asarray(jax.tree.leaves(model.d_params)[0])
+    for it in range(1, 4):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(it)
+        ld = model.log_dict
+        for k in ('l_g_pix', 'l_g_gan', 'l_g_feat', 'l_d_real', 'l_d_fake'):
+            assert np.isfinite(ld[k]), (k, ld)
+    assert not np.array_equal(g_before,
+                              np.asarray(jax.tree.leaves(model.params)[0]))
+    assert not np.array_equal(d_before,
+                              np.asarray(jax.tree.leaves(model.d_params)[0]))
+    model.save(0, 3)
+    assert (tmp_path / 'm' / 'net_d_3.npz').exists()
