@@ -87,6 +87,10 @@ def niqe_core(img, mu_pris_param, cov_pris_param, gaussian_window,
     h, w = img.shape
     num_block_h = math.floor(h / block_size_h)
     num_block_w = math.floor(w / block_size_w)
+    if num_block_h == 0 or num_block_w == 0:
+        raise ValueError(
+            f'NIQE needs images of at least {block_size_h}x{block_size_w} '
+            f'(after border crop); got {h}x{w}.')
     img = img[0:num_block_h * block_size_h, 0:num_block_w * block_size_w]
 
     distparam = []

@@ -6,6 +6,9 @@
         --input_path <frame_folder> --save_path results/BasicVSR
 """
 
+import sys as _sys
+_sys.path.insert(0, __file__.rsplit('/', 2)[0])  # repo root when run as a script
+
 import argparse
 import os
 

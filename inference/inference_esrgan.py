@@ -6,6 +6,9 @@
         --input <folder> --output results/ESRGAN
 """
 
+import sys as _sys
+_sys.path.insert(0, __file__.rsplit('/', 2)[0])  # repo root when run as a script
+
 import argparse
 import glob
 import os

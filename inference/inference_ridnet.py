@@ -5,6 +5,9 @@
         --test_path <folder> --noise_g 25
 """
 
+import sys as _sys
+_sys.path.insert(0, __file__.rsplit('/', 2)[0])  # repo root when run as a script
+
 import argparse
 import glob
 import os
