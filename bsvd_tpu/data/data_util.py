@@ -4,6 +4,8 @@ paired paths from folders/lmdb/meta-info, single-folder paths)."""
 import os
 from os import path as osp
 
+import numpy as np
+
 from bsvd_tpu.utils.misc import scandir
 
 
@@ -105,3 +107,39 @@ def generate_frame_indices(crt_idx, max_frame_num, num_frames, padding='reflecti
             pad_idx = i
         indices.append(pad_idx)
     return indices
+
+
+def generate_gaussian_kernel(kernel_size=13, sigma=1.6):
+    """Gaussian kernel for DUF downsampling: gaussian-smoothed dirac
+    (reference: BasicSR/basicsr/data/data_util.py:265-280)."""
+    from scipy.ndimage import gaussian_filter
+    kernel = np.zeros((kernel_size, kernel_size))
+    kernel[kernel_size // 2, kernel_size // 2] = 1
+    return gaussian_filter(kernel, sigma)
+
+
+def duf_downsample(x, kernel_size=13, scale=4):
+    """DUF official downsampling: reflect-pad, gaussian blur (sigma
+    0.4*scale), stride-`scale` subsample, crop 2 px
+    (reference: BasicSR/basicsr/data/data_util.py:283-313; numpy, frames
+    (..., C, H, W) float in [0, 1])."""
+    from scipy.ndimage import correlate
+    assert scale in (2, 3, 4), f'Only support scale (2, 3, 4), but got {scale}.'
+    kern = generate_gaussian_kernel(kernel_size, 0.4 * scale)
+    pad = kernel_size // 2 + scale * 2
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    flat = x.reshape(-1, h, w)
+    out = []
+    for img in flat:
+        p = np.pad(img, pad, mode='reflect')
+        full = correlate(p, kern, mode='constant')
+        # torch conv2d 'valid' with stride: output i samples padded row
+        # i*scale + kernel_size//2
+        k2 = kernel_size // 2
+        nh = (p.shape[0] - kernel_size) // scale + 1
+        nw = (p.shape[1] - kernel_size) // scale + 1
+        sub = full[k2:k2 + nh * scale:scale, k2:k2 + nw * scale:scale]
+        out.append(sub[2:-2, 2:-2])
+    out = np.stack(out).astype(np.float32)
+    return out.reshape(*lead, *out.shape[-2:])

@@ -132,3 +132,70 @@ class REDSRecurrentDataset:
         lq = np.stack([np.transpose(v, (2, 0, 1)) for v in imgs[:n]])
         gt = np.stack([np.transpose(v, (2, 0, 1)) for v in imgs[n:]])
         return {'lq': lq, 'gt': gt, 'key': f'{fi}/{start}'}
+
+
+@DATASET_REGISTRY.register()
+class VideoTestVimeo90KDataset:
+    """Vimeo90K-Test: one septuplet per item, center frame (im4) as GT
+    (reference: BasicSR/basicsr/data/video_test_dataset.py:133-199).
+
+    opt: dataroot_gt, dataroot_lq, meta_info_file, num_frame, name.
+    """
+
+    def __init__(self, opt):
+        self.opt = opt
+        if opt.get('cache_data'):
+            raise NotImplementedError(
+                'cache_data in Vimeo90K-Test dataset is not implemented.')
+        gt_root, lq_root = opt['dataroot_gt'], opt['dataroot_lq']
+        num_frame = opt.get('num_frame', 7)
+        neighbors = [i + (9 - num_frame) // 2 for i in range(num_frame)]
+        with open(opt['meta_info_file']) as fin:
+            subfolders = [line.split(' ')[0] for line in fin if line.strip()]
+        self.gt_paths = [os.path.join(gt_root, s, 'im4.png')
+                         for s in subfolders]
+        self.lq_paths = [[os.path.join(lq_root, s, f'im{i}.png')
+                          for i in neighbors] for s in subfolders]
+        self.total = len(subfolders)
+
+    def __getitem__(self, index):
+        from bsvd_tpu.data.utils_common import open_image
+        lq = np.stack([open_image(p)[0] for p in self.lq_paths[index]])
+        gt = open_image(self.gt_paths[index])[0]
+        return {'lq': lq, 'gt': gt, 'folder': 'vimeo90k',
+                'idx': f'{index}/{self.total}',
+                'lq_path': self.lq_paths[index][len(self.lq_paths[index]) // 2]}
+
+    def __len__(self):
+        return self.total
+
+
+@DATASET_REGISTRY.register()
+class VideoTestDUFDataset(VideoTestDataset):
+    """Sliding-window test dataset for DUF: optionally regenerates the LQ
+    window by gaussian-downsampling the GT frames (official DUF protocol;
+    reference: BasicSR/basicsr/data/video_test_dataset.py:202-251).
+
+    Extra opt keys: use_duf_downsampling (bool), scale (int).
+    """
+
+    def __getitem__(self, index):
+        from bsvd_tpu.data.data_util import duf_downsample
+        from bsvd_tpu.data.transforms import mod_crop
+        from bsvd_tpu.data.utils_common import open_image
+        fi, ci = self.items[index]
+        scale = self.opt.get('scale', 4)
+        idxs = generate_frame_indices(ci, len(self.lq_frames[fi]),
+                                      self.num_frame, self.padding)
+        if self.opt.get('use_duf_downsampling'):
+            gt_seq = [open_image(self.gt_frames[fi][i])[0] for i in idxs]
+            gt_seq = [np.transpose(mod_crop(np.transpose(g, (1, 2, 0)), scale),
+                                   (2, 0, 1)) for g in gt_seq]
+            lq = duf_downsample(np.stack(gt_seq), kernel_size=13, scale=scale)
+        else:
+            lq = np.stack([open_image(self.lq_frames[fi][i])[0] for i in idxs])
+        gt = open_image(self.gt_frames[fi][ci])[0]
+        gt = np.transpose(mod_crop(np.transpose(gt, (1, 2, 0)), scale),
+                          (2, 0, 1))
+        return {'lq': lq, 'gt': gt, 'folder': self.base_folder[fi],
+                'idx': f'{ci}/{len(self.lq_frames[fi])}'}

@@ -92,3 +92,50 @@ def test_reds_sliding_window_dataset(tmp_path):
         item = ds[idx]
         assert item['lq'].shape == (5, 3, 4, 4)
         assert item['gt'].shape == (3, 16, 16)
+
+
+def test_video_test_vimeo90k_dataset(vimeo_tree):
+    gt, lq, meta = vimeo_tree
+    ds = build_dataset({'type': 'VideoTestVimeo90KDataset', 'name': 'v',
+                        'dataroot_gt': gt, 'dataroot_lq': lq,
+                        'meta_info_file': meta, 'num_frame': 7})
+    assert len(ds) == 2
+    item = ds[0]
+    assert item['lq'].shape == (7, 3, 8, 8)
+    assert item['gt'].shape == (3, 32, 32)
+    assert item['folder'] == 'vimeo90k'
+    assert item['idx'] == '0/2'
+
+
+def test_video_test_duf_dataset(tmp_path):
+    from bsvd_tpu.data.data_util import duf_downsample
+    gt_root, lq_root = tmp_path / 'gt', tmp_path / 'lq'
+    rng = np.random.default_rng(3)
+    os.makedirs(gt_root / 'clip0')
+    os.makedirs(lq_root / 'clip0')
+    for i in range(5):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        cv2.imwrite(str(gt_root / 'clip0' / f'{i:08d}.png'), img)
+        cv2.imwrite(str(lq_root / 'clip0' / f'{i:08d}.png'),
+                    cv2.resize(img, (8, 8)))
+    base = {'type': 'VideoTestDUFDataset', 'name': 'duf',
+            'dataroot_gt': str(gt_root), 'dataroot_lq': str(lq_root),
+            'num_frame': 3, 'padding': 'reflection_circle', 'scale': 4}
+    ds = build_dataset(dict(base))
+    item = ds[2]
+    assert item['lq'].shape == (3, 3, 8, 8)
+    assert item['gt'].shape == (3, 32, 32)
+    # DUF protocol: regenerate LQ by gaussian-downsampling the GT frames
+    ds2 = build_dataset(dict(base, use_duf_downsampling=True))
+    item2 = ds2[2]
+    assert item2['lq'].shape == (3, 3, 8, 8)
+    assert item2['gt'].shape == (3, 32, 32)
+    # gaussian-downsampled LQ must differ from the bilinear-resized files
+    assert not np.allclose(item2['lq'], item['lq'], atol=1e-3)
+    # and must exactly equal duf_downsample applied to the GT window
+    gts = np.stack([item['gt']] * 0 + [  # center window idxs: 1, 2, 3
+        np.transpose(cv2.cvtColor(cv2.imread(
+            str(gt_root / 'clip0' / f'{i:08d}.png')), cv2.COLOR_BGR2RGB),
+            (2, 0, 1)).astype(np.float32) / 255. for i in (1, 2, 3)])
+    np.testing.assert_allclose(item2['lq'], duf_downsample(gts, 13, 4),
+                               rtol=1e-5, atol=1e-6)
