@@ -1,11 +1,11 @@
 """Loss functions (jnp, traceable inside the jitted train step).
 
 Reference set: BasicSR/basicsr/losses/losses.py:29-519 (L1/MSE/Charbonnier
-with elementwise weighting + reduction, weighted TV). Perceptual/GAN losses
-are torch-VGG-dependent in the reference and are not needed by any BSVD
-config; they raise NotImplementedError here until a JAX VGG lands.
+with elementwise weighting + reduction, weighted TV, VGG perceptual/style).
+GAN losses live in gan_loss.py.
 """
 
+import jax
 import jax.numpy as jnp
 
 from bsvd_tpu.utils.registry import LOSS_REGISTRY
@@ -110,7 +110,62 @@ class PSNRLoss:
 
 @LOSS_REGISTRY.register()
 class PerceptualLoss:
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            'PerceptualLoss needs pretrained VGG weights which are not '
-            'bundled; no BSVD config uses it.')
+    """VGG perceptual + style loss (reference losses.py:151-259).
+
+    Returns ``(percep_loss_or_None, style_loss_or_None)`` like the
+    reference. Pretrained VGG weights are external — pass
+    ``pretrain_path`` (or set BSVD_VGG_PRETRAIN_PATH); with no weights
+    available the extractor is random-init and a warning is logged.
+    """
+
+    def __init__(self, layer_weights, vgg_type='vgg19', use_input_norm=True,
+                 range_norm=False, perceptual_weight=1.0, style_weight=0.,
+                 criterion='l1', pretrain_path=None):
+        from bsvd_tpu.archs.vgg_arch import VGGFeatureExtractor
+        self.layer_weights = dict(layer_weights)
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.vgg = VGGFeatureExtractor(
+            layer_name_list=list(layer_weights), vgg_type=vgg_type,
+            use_input_norm=use_input_norm, range_norm=range_norm,
+            pretrain_path=pretrain_path)
+        if not self.vgg.pretrained:
+            from bsvd_tpu.utils import get_root_logger
+            get_root_logger().warning(
+                'PerceptualLoss: no pretrained VGG weights found — using '
+                'random init (set BSVD_VGG_PRETRAIN_PATH for parity).')
+        self.criterion_type = criterion
+        if criterion == 'l1':
+            self.criterion = lambda a, b: jnp.mean(jnp.abs(a - b))
+        elif criterion == 'l2':
+            self.criterion = lambda a, b: jnp.mean(jnp.square(a - b))
+        elif criterion == 'fro':
+            self.criterion = lambda a, b: jnp.sqrt(jnp.sum(jnp.square(a - b)))
+        else:
+            raise NotImplementedError(
+                f'{criterion} criterion has not been supported.')
+
+    @staticmethod
+    def _gram_mat(x):
+        n, c, h, w = x.shape
+        f = x.reshape(n, c, h * w)
+        return (f @ jnp.swapaxes(f, 1, 2)) / (c * h * w)
+
+    def __call__(self, x, gt):
+        xf = self.vgg(x)
+        gf = self.vgg(jax.lax.stop_gradient(jnp.asarray(gt)))
+        percep = None
+        if self.perceptual_weight > 0:
+            percep = 0.
+            for k in xf:
+                percep += self.criterion(xf[k], gf[k]) * self.layer_weights[k]
+            percep = percep * self.perceptual_weight
+        style = None
+        if self.style_weight > 0:
+            style = 0.
+            for k in xf:
+                style += self.criterion(self._gram_mat(xf[k]),
+                                        self._gram_mat(gf[k])) \
+                    * self.layer_weights[k]
+            style = style * self.style_weight
+        return percep, style

@@ -91,6 +91,7 @@ class HiFaceGANModel(SRModel):
         g_apply = self.net.apply
         d_apply = self.net_d.apply
         cri_pix, cri_gan, cri_feat = self.cri_pix, self.cri_gan, self.cri_feat
+        cri_perceptual = self.cri_perceptual
         tx_g, tx_d = self.tx_g, self.tx_d
         nd_iters, nd_init = self.net_d_iters, self.net_d_init_iters
 
@@ -112,6 +113,14 @@ class HiFaceGANModel(SRModel):
                 l_g_pix = cri_pix(fake, gt)
                 total += l_g_pix
                 losses['l_g_pix'] = l_g_pix
+            if cri_perceptual is not None:
+                l_percep, l_style = cri_perceptual(fake, gt)
+                if l_percep is not None:
+                    total += l_percep
+                    losses['l_g_percep'] = l_percep
+                if l_style is not None:
+                    total += l_style
+                    losses['l_g_style'] = l_style
             pred_fake, pred_real = discriminate(dp, lq, fake, gt)
             l_g_gan = cri_gan(pred_fake, True, is_disc=False)
             total += l_g_gan

@@ -65,13 +65,27 @@ class SRModel(BaseModel):
 
         apply_fn = self.net.apply
         cri_pix = self.cri_pix
+        cri_perceptual = self.cri_perceptual
         tx = self.tx
 
         def step(params, opt_state, ema_params, batch, it, ema_decay):
             def loss_fn(p):
                 out = apply_fn(p, batch['lq'])
-                l_pix = cri_pix(out, batch['gt'])
-                return l_pix, {'l_pix': l_pix}
+                losses = {}
+                total = 0.0
+                if cri_pix is not None:
+                    l_pix = cri_pix(out, batch['gt'])
+                    total += l_pix
+                    losses['l_pix'] = l_pix
+                if cri_perceptual is not None:
+                    l_percep, l_style = cri_perceptual(out, batch['gt'])
+                    if l_percep is not None:
+                        total += l_percep
+                        losses['l_percep'] = l_percep
+                    if l_style is not None:
+                        total += l_style
+                        losses['l_style'] = l_style
+                return total, losses
             (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

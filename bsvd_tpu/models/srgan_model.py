@@ -83,6 +83,7 @@ class SRGANModel(SRModel):
         g_apply = self.net.apply
         d_apply = self._d_apply()
         cri_pix, cri_gan = self.cri_pix, self.cri_gan
+        cri_perceptual = self.cri_perceptual
         tx_g, tx_d = self.tx_g, self.tx_d
         relativistic = self.relativistic
         nd_iters, nd_init = self.net_d_iters, self.net_d_init_iters
@@ -95,6 +96,14 @@ class SRGANModel(SRModel):
                 l_pix = cri_pix(fake, gt)
                 total += l_pix
                 losses['l_g_pix'] = l_pix
+            if cri_perceptual is not None:
+                l_percep, l_style = cri_perceptual(fake, gt)
+                if l_percep is not None:
+                    total += l_percep
+                    losses['l_g_percep'] = l_percep
+                if l_style is not None:
+                    total += l_style
+                    losses['l_g_style'] = l_style
             fake_pred, _ = d_apply(dp, fake, train=True)
             if relativistic:
                 real_pred, _ = d_apply(dp, gt, train=True)

@@ -1,0 +1,151 @@
+"""VGG feature extractor + PerceptualLoss parity vs a torch oracle
+(torchvision itself is unavailable, so the oracle is a hand-built
+nn.Sequential with the exact torchvision `features` module order that
+the converter's index mapping assumes)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+from torch import nn  # noqa: E402
+
+MEAN = (0.485, 0.456, 0.406)
+STD = (0.229, 0.224, 0.225)
+
+
+def _torch_vgg19_prefix(max_layers=12, seed=0):
+    """torchvision vgg19 `features` truncated: indices 0..11 cover
+    conv1_1..relu2_2 + pool1 (matching bsvd_tpu.archs.vgg_arch.NAMES)."""
+    torch.manual_seed(seed)
+    mods = [nn.Conv2d(3, 64, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(64, 64, 3, padding=1), nn.ReLU(),
+            nn.MaxPool2d(2, 2),
+            nn.Conv2d(64, 128, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(128, 128, 3, padding=1), nn.ReLU(),
+            nn.MaxPool2d(2, 2)]
+    return nn.Sequential(*mods[:max_layers]).eval()
+
+
+def test_vgg_feature_extractor_parity():
+    from bsvd_tpu.archs.vgg_arch import (convert_torchvision_vgg,
+                                         vgg_feature_apply)
+    net = _torch_vgg19_prefix(9)   # through relu2_2
+    state = {f'features.{i}.{k}': v.detach().numpy()
+             for i, m in enumerate(net)
+             for k, v in getattr(m, 'state_dict', dict)().items()}
+    layers = ['relu1_1', 'relu2_2', 'conv2_1']
+    params = convert_torchvision_vgg(state, 'vgg19')
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    xt = (xt - torch.tensor(MEAN).view(1, 3, 1, 1)) \
+        / torch.tensor(STD).view(1, 3, 1, 1)
+    ref = {}
+    with torch.no_grad():
+        h = xt
+        names = ['conv1_1', 'relu1_1', 'conv1_2', 'relu1_2', 'pool1',
+                 'conv2_1', 'relu2_1', 'conv2_2', 'relu2_2']
+        for name, m in zip(names, net):
+            h = m(h)
+            if name in layers:
+                ref[name] = h.numpy()
+
+    got = vgg_feature_apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), layers, 'vgg19')
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got[k]), (0, 3, 1, 2)), ref[k],
+            rtol=1e-4, atol=1e-5)
+
+
+def test_perceptual_loss_parity(tmp_path):
+    from bsvd_tpu.losses import build_loss
+    net = _torch_vgg19_prefix(9, seed=3)
+    state = {f'features.{i}.{k}': v.detach().numpy()
+             for i, m in enumerate(net)
+             for k, v in getattr(m, 'state_dict', dict)().items()}
+    np.savez(tmp_path / 'vgg.npz', **state)
+
+    layer_weights = {'relu1_1': 1.0, 'relu2_2': 0.25}
+    loss = build_loss({'type': 'PerceptualLoss',
+                       'layer_weights': layer_weights,
+                       'perceptual_weight': 2.0, 'style_weight': 3.0,
+                       'criterion': 'l1',
+                       'pretrain_path': str(tmp_path / 'vgg.npz')})
+    assert loss.vgg.pretrained
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    g = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+
+    def feats(a):
+        at = torch.from_numpy(a)
+        at = (at - torch.tensor(MEAN).view(1, 3, 1, 1)) \
+            / torch.tensor(STD).view(1, 3, 1, 1)
+        out, h = {}, at
+        names = ['conv1_1', 'relu1_1', 'conv1_2', 'relu1_2', 'pool1',
+                 'conv2_1', 'relu2_1', 'conv2_2', 'relu2_2']
+        with torch.no_grad():
+            for name, m in zip(names, net):
+                h = m(h)
+                if name in layer_weights:
+                    out[name] = h
+        return out
+
+    def gram(t):
+        n, c, hh, ww = t.shape
+        f = t.view(n, c, hh * ww)
+        return f.bmm(f.transpose(1, 2)) / (c * hh * ww)
+
+    xf, gf = feats(x), feats(g)
+    ref_p = sum(torch.nn.functional.l1_loss(xf[k], gf[k]).item() * w
+                for k, w in layer_weights.items()) * 2.0
+    ref_s = sum(torch.nn.functional.l1_loss(gram(xf[k]), gram(gf[k])).item() * w
+                for k, w in layer_weights.items()) * 3.0
+
+    p, s = loss(jnp.asarray(x), jnp.asarray(g))
+    np.testing.assert_allclose(float(p), ref_p, rtol=1e-4)
+    np.testing.assert_allclose(float(s), ref_s, rtol=1e-3, atol=1e-7)
+
+
+def test_sr_model_with_perceptual(tmp_path):
+    """Engine smoke: SRModel trains against pixel + perceptual + style."""
+    import os
+    from bsvd_tpu.models import build_model
+    net = _torch_vgg19_prefix(9, seed=4)
+    state = {f'features.{i}.{k}': v.detach().numpy()
+             for i, m in enumerate(net)
+             for k, v in getattr(m, 'state_dict', dict)().items()}
+    np.savez(tmp_path / 'vgg.npz', **state)
+    opt = {
+        'name': 'percep_smoke', 'model_type': 'SRModel', 'is_train': True,
+        'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
+        'network_g': {'type': 'MSRResNet', 'num_in_ch': 3, 'num_out_ch': 3,
+                      'num_feat': 8, 'num_block': 1, 'upscale': 4},
+        'path': {'models': str(tmp_path / 'm'),
+                 'training_states': str(tmp_path / 's')},
+        'train': {'optim_g': {'type': 'Adam', 'lr': 1e-4,
+                              'betas': [0.9, 0.99]},
+                  'total_iter': 2,
+                  'pixel_opt': {'type': 'L1Loss', 'loss_weight': 0.01},
+                  'perceptual_opt': {'type': 'PerceptualLoss',
+                                     'layer_weights': {'relu2_2': 1.0},
+                                     'perceptual_weight': 1.0,
+                                     'style_weight': 0.5,
+                                     'pretrain_path': str(tmp_path / 'vgg.npz')}},
+        'logger': {},
+    }
+    os.makedirs(opt['path']['models'])
+    os.makedirs(opt['path']['training_states'])
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    model.feed_data({'lq': rng.uniform(0, 1, (2, 3, 16, 16)).astype(np.float32),
+                     'gt': rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)})
+    model.optimize_parameters(1)
+    for k in ('l_pix', 'l_percep', 'l_style'):
+        assert np.isfinite(model.log_dict[k]), (k, model.log_dict)
