@@ -79,6 +79,12 @@ def train_pipeline(root_path, cmd=None, opt_path=None):
     logger.info(get_env_info())
     logger.info(dict2str(opt))
     tb_logger = None
+    # wandb first so sync_tensorboard catches the TB writer (reference
+    # train.py init_tb_loggers ordering)
+    if (opt['logger'].get('wandb') is not None
+            and opt['logger']['wandb'].get('project') is not None):
+        from bsvd_tpu.utils.logger import init_wandb_logger
+        init_wandb_logger(opt)
     if opt['logger'].get('use_tb_logger'):
         tb_logger = init_tb_logger(osp.join(opt['path']['experiments_root'],
                                             'tb_logger'))

@@ -147,3 +147,26 @@ def get_env_info():
            f'\n\tJAX: {jax.__version__}'
            f'\n\tDevices: {[str(d) for d in jax.devices()]}')
     return msg
+
+
+def init_wandb_logger(opt):
+    """Sync the TB log to wandb (reference: BasicSR/basicsr/utils/logger.py
+    :122-139). wandb is not bundled in this image; the import error surfaces
+    with a clear message when the config asks for it."""
+    try:
+        import wandb
+    except ImportError as e:
+        raise ImportError(
+            'logger.wandb is configured but the wandb package is not '
+            'installed in this environment.') from e
+    logger = get_root_logger()
+    project = opt['logger']['wandb']['project']
+    resume_id = opt['logger']['wandb'].get('resume_id')
+    if resume_id:
+        wandb_id, resume = resume_id, 'allow'
+        logger.warning(f'Resume wandb logger with id={wandb_id}.')
+    else:
+        wandb_id, resume = wandb.util.generate_id(), 'never'
+    wandb.init(id=wandb_id, resume=resume, name=opt['name'], config=opt,
+               project=project, sync_tensorboard=True)
+    logger.info(f'Use wandb logger with id={wandb_id}; project={project}.')
