@@ -28,7 +28,10 @@ def make_mesh(num_devices=None, spatial=1, devices=None):
     n = len(devs) if num_devices in (None, 'auto') else int(num_devices)
     n = max(1, min(n, len(devs)))
     if n % spatial != 0:
-        raise ValueError(f'spatial axis {spatial} must divide device count {n}')
+        import warnings
+        warnings.warn(f'spatial axis {spatial} does not divide device count '
+                      f'{n}; degrading to spatial=1', stacklevel=2)
+        spatial = 1
     arr = np.array(devs[:n]).reshape(n // spatial, spatial)
     return Mesh(arr, ('data', 'spatial'))
 
