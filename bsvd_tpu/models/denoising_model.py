@@ -31,8 +31,13 @@ def _nfchw_to_nthwc(x):
     return jnp.transpose(x, (0, 1, 3, 4, 2))
 
 
-def make_train_step(cfg, tx, cri_pix, params_template=None):
+def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
+                    params_template=None):
     """Build the pure (params, opt_state, ema, batch, it, ema_decay) update.
+
+    Loss = pixel + perceptual(+style) like the reference optimize_parameters
+    (reference denoising_model.py:108-122); each criterion may be None.
+    Frames are flattened (N,T,H,W,C) -> (N*T,C,H,W) for the VGG extractor.
 
     With norm='bn' and a params template, the forward runs train-mode
     BatchNorm and the step folds the running-stat momentum update back into
@@ -62,8 +67,24 @@ def make_train_step(cfg, tx, cri_pix, params_template=None):
         else:
             out = wnet_apply(params, lq, cfg)
             stats = []
-        l_pix = cri_pix(out, gt)
-        return l_pix, ({'l_pix': l_pix}, stats)
+        total = 0.
+        losses = {}
+        if cri_pix is not None:
+            l_pix = cri_pix(out, gt)
+            total += l_pix
+            losses['l_pix'] = l_pix
+        if cri_perceptual is not None:
+            def to_nchw(x):   # (N,T,H,W,C) -> (N*T,C,H,W) for the VGG
+                x = x.reshape(-1, *x.shape[-3:])
+                return jnp.transpose(x, (0, 3, 1, 2))
+            l_percep, l_style = cri_perceptual(to_nchw(out), to_nchw(gt))
+            if l_percep is not None:
+                total += l_percep
+                losses['l_percep'] = l_percep
+            if l_style is not None:
+                total += l_style
+                losses['l_style'] = l_style
+        return total, (losses, stats)
 
     def step(params, opt_state, ema_params, batch, it, ema_decay):
         (_, (loss_dict, stats)), grads = jax.value_and_grad(
@@ -148,6 +169,7 @@ class DenoisingModel(BaseModel):
         self.opt_state = self.tx.init(self.params)
 
         step = make_train_step(self.cfg, self.tx, self.cri_pix,
+                               cri_perceptual=self.cri_perceptual,
                                params_template=self.params)
         repl = replicated_sharding(self.mesh)
         bsh5 = batch_sharding(self.mesh, 5, batch_axis=0, spatial_axis=2)
@@ -232,7 +254,10 @@ class DenoisingModel(BaseModel):
         val_opt = self.opt.get('val') or {}
         params = self.ema_params if self.ema_params is not None else self.params
 
-        padded_lq, padding_list = self.padding_input(self.lq)
+        # val items are (1,T,C,H,W); during-training validation reaches here
+        # without feed_data's eval-mode squeeze — drop the batch dim either way
+        lq = self.lq[0] if np.ndim(self.lq) == 5 else self.lq
+        padded_lq, padding_list = self.padding_input(lq)
         sigma = None
         if self.noise_map is not None:
             nm = np.asarray(self.noise_map)
@@ -299,8 +324,12 @@ class DenoisingModel(BaseModel):
                             val = calculate_metric(metric_data, opt_)
                         self.metric_results[folder][idx, m_idx] += val
             get_root_logger().info(f'Tested {folder} ({i + 1}/{num_folders})')
-            total_avg_results = self._log_validation_metric_values(
-                current_iter, dataset_name, tb_logger)
+        # Aggregate/log ONCE after all folders (reference
+        # denoising_model.py:318-367) — logging inside the loop would average
+        # in all-zero rows for folders not yet evaluated and rewrite the
+        # per-scene CSVs N times.
+        total_avg_results = self._log_validation_metric_values(
+            current_iter, dataset_name, tb_logger)
         return total_avg_results
 
     def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
