@@ -146,9 +146,10 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, cur, fut, pst, sems, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('t_len', 'fold_div', 'act', 'causal', 'bh'))
+                   static_argnames=('t_len', 'fold_div', 'act', 'causal',
+                                    'bh', 'interpret'))
 def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
-                     causal=False, bh=None):
+                     causal=False, bh=None, interpret=False):
     """Fused temporal-shift + 3x3 conv (stride 1, pad 1) + bias + act.
 
     Args:
@@ -192,6 +193,7 @@ def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=x.size * 2 * 3,
                                       transcendentals=0),
+        interpret=interpret,
     )(x, w, b.reshape(1, cout))
 
 

@@ -1,0 +1,54 @@
+"""Pallas fused shift-conv correctness in CI via interpret mode.
+
+The fused kernel is default-on for TPU inference (WNetConfig.use_fused), but
+the test suite forces CPU, so without these interpret-mode cases the kernel
+would be exercised by zero automated tests. Semantics oracle:
+shift_conv_reference == temporal_shift + conv2d (reference:
+temporal_shift.py:40-47 + bsvd_arch.py:42-50).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bsvd_tpu.ops.shift_conv import shift_conv_fused, shift_conv_reference
+
+
+def _data(t, h, w, c, co, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((t, h, w, c)), dtype)
+    wts = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, dtype)
+    b = jnp.asarray(rng.standard_normal(co) * 0.1, dtype)
+    return x, wts, b
+
+
+@pytest.mark.parametrize('case', ['fp32', 'bf16', 'causal', 'two_clips',
+                                  'relu', 'none_act'])
+def test_shift_conv_interpret_matches_reference(case):
+    T, H, W, C, CO = 4, 16, 32, 16, 24
+    dtype = jnp.bfloat16 if case == 'bf16' else jnp.float32
+    causal = case == 'causal'
+    act = {'relu': 'relu', 'none_act': 'none'}.get(case, 'relu6')
+    nt = 8 if case == 'two_clips' else T
+    x, w, b = _data(nt, H, W, C, CO, dtype)
+
+    ref = shift_conv_reference(x, w, b, t_len=T, act=act, causal=causal)
+    got = shift_conv_fused(x, w, b, t_len=T, act=act, causal=causal,
+                           bh=4, interpret=True)
+    assert got.dtype == ref.dtype
+    tol = 5e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_shift_conv_interpret_multi_rowblock_halo():
+    """bh < H exercises the top/bottom halo DMAs across row blocks."""
+    T, H, W, C, CO = 2, 12, 16, 8, 8
+    x, w, b = _data(T, H, W, C, CO, jnp.float32, seed=3)
+    ref = shift_conv_reference(x, w, b, t_len=T)
+    for bh in (2, 3, 6, 12):
+        got = shift_conv_fused(x, w, b, t_len=T, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f'bh={bh}')
