@@ -234,17 +234,25 @@ def random_add_gaussian_noise(img, sigma_range=(0, 1.0), gray_prob=0,
     return add_gaussian_noise(img, sigma, clip, rounds, gray, rng)
 
 
-def generate_poisson_noise(img, scale=1.0, gray_noise=False, rng=None):
-    """Poisson (shot) noise; vals follows cv2's unique-value heuristic."""
-    rng = rng or np.random.default_rng()
+def _poisson_rate(img, gray_noise=False):
+    """Quantized rate image + vals for Poisson noise (reference
+    degradations.py generate_poisson_noise). The gray conversion happens on
+    the FLOAT image and only then quantizes — uint8 truncation first would
+    shift the rate by up to 1/255."""
     if gray_noise:
-        base = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_BGR2GRAY)
-        base = base.astype(np.float32) / 255.
+        base = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2GRAY)
     else:
         base = img
     base = np.clip((base * 255.0).round(), 0, 255) / 255.
     vals = len(np.unique(base))
     vals = 2**np.ceil(np.log2(vals))
+    return base, vals
+
+
+def generate_poisson_noise(img, scale=1.0, gray_noise=False, rng=None):
+    """Poisson (shot) noise; vals follows cv2's unique-value heuristic."""
+    rng = rng or np.random.default_rng()
+    base, vals = _poisson_rate(img, gray_noise)
     out = np.float32(rng.poisson(base * vals) / float(vals))
     noise = out - base
     if gray_noise and img.ndim == 3:

@@ -13,8 +13,11 @@ TPU notes: one jitted step runs G then D (SRGAN ordering, which the
 reference deliberately adopts at :143-146); the G update is gated on
 ``net_d_iters`` / ``net_d_init_iters`` via the step counter instead of a
 Python branch so the compiled graph is static. The reference's spectral
-norm on D convs is not power-iterated during training (plain convs);
-eval-time checkpoints fold sigma at conversion (see tests/test_hifacegan.py).
+norm on D convs (norm_d='spectralinstance') IS power-iterated during
+training: every D forward normalizes w/sigma and the D-loss pass's updated
+u vectors are folded back into the params after the optimizer step
+(sn_aux_fold). Converted eval checkpoints fold sigma at conversion instead
+(see tests/test_hifacegan.py).
 """
 
 import jax
@@ -102,8 +105,8 @@ class HiFaceGANModel(SRModel):
             fake_concat = jnp.concatenate([lq, output], axis=1)
             real_concat = jnp.concatenate([lq, gt], axis=1)
             both = jnp.concatenate([fake_concat, real_concat], axis=0)
-            pred, _ = d_apply(dp, both, train=True)
-            return _divide_pred(pred)
+            pred, aux = d_apply(dp, both, train=True)
+            return _divide_pred(pred) + (aux,)
 
         def g_loss(gp, dp, lq, gt):
             fake = g_apply(gp, lq)
@@ -121,7 +124,7 @@ class HiFaceGANModel(SRModel):
                 if l_style is not None:
                     total += l_style
                     losses['l_g_style'] = l_style
-            pred_fake, pred_real = discriminate(dp, lq, fake, gt)
+            pred_fake, pred_real, _ = discriminate(dp, lq, fake, gt)
             l_g_gan = cri_gan(pred_fake, True, is_disc=False)
             total += l_g_gan
             losses['l_g_gan'] = l_g_gan
@@ -132,27 +135,36 @@ class HiFaceGANModel(SRModel):
             return total, (losses, fake)
 
         def d_loss(dp, lq, fake, gt):
-            pred_fake, pred_real = discriminate(dp, lq, fake, gt)
+            pred_fake, pred_real, aux = discriminate(dp, lq, fake, gt)
             l_d_real = cri_gan(pred_real, True, is_disc=True)
             l_d_fake = cri_gan(pred_fake, False, is_disc=True)
             losses = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake}
-            return (l_d_real + l_d_fake) / 2, losses
+            return (l_d_real + l_d_fake) / 2, (losses, aux)
 
         def step(gp, g_opt, dp, d_opt, batch, it):
             lq, gt = batch['lq'], batch['gt']
             # ---- G ----
             (_, (g_losses, fake)), g_grads = jax.value_and_grad(
                 g_loss, has_aux=True)(gp, dp, lq, gt)
+            # Gated G step: select params AND optimizer state so gated-off
+            # iterations leave Adam's moments/bias counter untouched
+            # (zeroed grads would still advance them; reference skips the
+            # whole block, hifacegan_model.py:117-146).
             g_on = jnp.logical_and(it % nd_iters == 0, it > nd_init)
-            g_grads = jax.tree.map(lambda g: g * g_on.astype(g.dtype), g_grads)
-            g_updates, g_opt = tx_g.update(g_grads, g_opt, gp)
-            gp = optax.apply_updates(gp, g_updates)
+            g_updates, g_opt_new = tx_g.update(g_grads, g_opt, gp)
+            gp_new = optax.apply_updates(gp, g_updates)
+            gp = jax.tree.map(lambda a, b: jnp.where(g_on, a, b), gp_new, gp)
+            g_opt = jax.tree.map(lambda a, b: jnp.where(g_on, a, b),
+                                 g_opt_new, g_opt)
             # ---- D (SRGAN ordering: same fake, reference :143-146) ----
             fake = jax.lax.stop_gradient(fake)
-            (_, d_losses), d_grads = jax.value_and_grad(
+            (_, (d_losses, sn_aux)), d_grads = jax.value_and_grad(
                 d_loss, has_aux=True)(dp, lq, fake, gt)
             d_updates, d_opt = tx_d.update(d_grads, d_opt, dp)
             dp = optax.apply_updates(dp, d_updates)
+            # persist the spectral-norm power-iteration vectors
+            from bsvd_tpu.archs.hifacegan_arch import sn_aux_fold
+            dp = sn_aux_fold(dp, sn_aux)
             return gp, g_opt, dp, d_opt, {**g_losses, **d_losses}
 
         repl = replicated_sharding(self.mesh)

@@ -142,11 +142,17 @@ class SRGANModel(SRModel):
             # ---- G ----
             (_, (g_losses, fake)), g_grads = jax.value_and_grad(
                 g_loss, has_aux=True)(gp, dp, lq, gt)
+            # Gated G step: on gated-off iterations BOTH params and the
+            # optimizer state must stay unchanged (the reference skips the
+            # whole G block, srgan_model.py:83-120), so select between the
+            # candidate and the previous state rather than zeroing grads —
+            # zeroed grads would still advance Adam's moments/bias counter.
             g_on = jnp.logical_and(it % nd_iters == 0, it > nd_init)
-            g_grads = jax.tree.map(
-                lambda g: g * g_on.astype(g.dtype), g_grads)
-            g_updates, g_opt = tx_g.update(g_grads, g_opt, gp)
-            gp = optax.apply_updates(gp, g_updates)
+            g_updates, g_opt_new = tx_g.update(g_grads, g_opt, gp)
+            gp_new = optax.apply_updates(gp, g_updates)
+            gp = jax.tree.map(lambda a, b: jnp.where(g_on, a, b), gp_new, gp)
+            g_opt = jax.tree.map(lambda a, b: jnp.where(g_on, a, b),
+                                 g_opt_new, g_opt)
             if ema is not None:
                 ema = jax.tree.map(
                     lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, gp)

@@ -59,6 +59,27 @@ def test_mixed_kernels_and_noise():
     assert jpg.shape == img.shape
 
 
+def test_poisson_gray_rate_matches_reference_semantics():
+    """Gray Poisson rate: cvtColor on the FLOAT image, then quantize
+    (reference generate_poisson_noise) — not uint8 truncation first."""
+    import cv2
+    from bsvd_tpu.data.degradations import _poisson_rate
+    rng = np.random.default_rng(3)
+    # values straddling x.5/255 so truncation vs rounding differ
+    img = (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.float32)
+    img = ((img + 0.499) / 255.).astype(np.float32)
+    base, vals = _poisson_rate(img, gray_noise=True)
+    exp = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    exp = np.clip((exp * 255.0).round(), 0, 255) / 255.
+    np.testing.assert_allclose(base, exp, rtol=0, atol=0)
+    exp_vals = 2**np.ceil(np.log2(len(np.unique(exp))))
+    assert vals == exp_vals
+    # the old uint8-truncation path disagrees on this input
+    trunc = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_BGR2GRAY)
+    trunc = np.clip(((trunc / 255.) * 255.0).round(), 0, 255) / 255.
+    assert np.abs(trunc - base).max() > 0
+
+
 def test_gaussian_noise_jax_batched():
     import jax
     from bsvd_tpu.data.degradations import add_gaussian_noise_jax

@@ -101,6 +101,66 @@ def test_gan_train_step(model_type, disc, tmp_path):
     assert (tmp_path / 'm' / 'net_d_3.npz').exists()
 
 
+def test_gan_gated_g_step_freezes_params_and_opt_state(tmp_path):
+    """On gated-off iterations (net_d_iters/net_d_init_iters) the reference
+    skips the whole G block (srgan_model.py:83-120): G params AND Adam
+    moments/counter must stay bitwise unchanged, while D still trains."""
+    import os
+    from bsvd_tpu.models import build_model
+    opt = {
+        'name': 'gan_gate', 'model_type': 'SRGANModel', 'is_train': True,
+        'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
+        'network_g': {'type': 'MSRResNet', 'num_in_ch': 3, 'num_out_ch': 3,
+                      'num_feat': 8, 'num_block': 1, 'upscale': 4},
+        'network_d': {'type': 'VGGStyleDiscriminator128', 'num_in_ch': 3,
+                      'num_feat': 8},
+        'path': {'models': str(tmp_path / 'm'),
+                 'training_states': str(tmp_path / 's')},
+        'train': {
+            'optim_g': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+            'optim_d': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+            'total_iter': 4, 'ema_decay': 0,
+            'net_d_iters': 2, 'net_d_init_iters': 1,
+            'pixel_opt': {'type': 'L1Loss', 'loss_weight': 0.01},
+            'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                        'real_label_val': 1.0, 'fake_label_val': 0.0,
+                        'loss_weight': 0.005},
+        },
+        'logger': {},
+    }
+    os.makedirs(opt['path']['models'])
+    os.makedirs(opt['path']['training_states'])
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    batch = {'lq': rng.uniform(0, 1, (2, 3, 32, 32)).astype(np.float32),
+             'gt': rng.uniform(0, 1, (2, 3, 128, 128)).astype(np.float32)}
+
+    def snap(tree):
+        return [np.asarray(x).copy() for x in jax.tree.leaves(tree)]
+
+    def same(a, b):
+        return all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    g0, o0 = snap(model.params), snap(model.opt_state)
+    d0 = snap(model.d_params)
+    # it=1: 1 % 2 != 0 -> gated off
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    assert same(snap(model.params), g0)
+    assert same(snap(model.opt_state), o0)
+    assert not same(snap(model.d_params), d0)
+    # it=2: 2 % 2 == 0 and 2 > 1 -> G trains
+    model.feed_data(batch)
+    model.optimize_parameters(2)
+    g2, o2 = snap(model.params), snap(model.opt_state)
+    assert not same(g2, g0)
+    # it=3: gated off again -> frozen at the it=2 state
+    model.feed_data(batch)
+    model.optimize_parameters(3)
+    assert same(snap(model.params), g2)
+    assert same(snap(model.opt_state), o2)
+
+
 @pytest.mark.parametrize('model_type,g_net,lq_shape,gt_shape', [
     ('VideoGANModel',
      {'type': 'EDVR', 'num_in_ch': 3, 'num_out_ch': 3, 'num_feat': 8,
