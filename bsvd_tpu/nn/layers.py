@@ -30,17 +30,20 @@ def conv2d(params, x, stride=1, padding=1, groups=1, dilation=1):
         params: {'w': (kh, kw, in/groups, out), 'b': (out,) or absent}
         x: (..., H, W, C) — leading dims are merged into the batch.
         stride: int spatial stride.
-        padding: int symmetric spatial pad (torch Conv2d ``padding=``).
+        padding: int or (ph, pw) symmetric spatial pad (torch Conv2d
+            ``padding=``; the tuple form covers 1x7/7x1 kernels).
         groups: feature group count.
         dilation: kernel (rhs) dilation.
     """
     w = params['w']
     lead = x.shape[:-3]
     xm = x.reshape((-1,) + x.shape[-3:])
+    ph, pw = padding if isinstance(padding, (tuple, list)) else (padding,
+                                                                 padding)
     y = lax.conv_general_dilated(
         xm, w,
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DIMSPEC,
         feature_group_count=groups,

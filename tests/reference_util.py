@@ -97,6 +97,19 @@ def load_reference():
     _stub('torchvision.utils', make_grid=lambda *a, **k: None)
     _stub('torchvision.models', vgg=types.SimpleNamespace(vgg19=None))
     _stub('torchvision.models.vgg', VGG=object, vgg19=None)
+
+    # class-definition-only bases so basicsr.archs.inception (and through
+    # it basicsr.metrics.fid) imports; instantiating the FID blocks still
+    # requires real torchvision and is not done in tests
+    class _NoInit:
+        def __init__(self, *a, **k):
+            raise RuntimeError('torchvision is stubbed; cannot instantiate')
+
+    inc = _stub('torchvision.models.inception',
+                InceptionA=_NoInit, InceptionB=_NoInit, InceptionC=_NoInit,
+                InceptionD=_NoInit, InceptionE=_NoInit)
+    sys.modules['torchvision.models'].inception = inc
+    sys.modules['torchvision.models'].inception_v3 = _NoInit
     tvt = _stub('torchvision.transforms')
     tvt.__path__ = []
     _stub('torchvision.transforms.functional', normalize=lambda *a, **k: None)
