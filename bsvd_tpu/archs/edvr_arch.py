@@ -170,15 +170,63 @@ def tsa_fusion_apply(p, aligned_feat, center_frame_idx):
 
 
 # ---------------------------------------------------------------------------
+# Predeblur
+# ---------------------------------------------------------------------------
+
+def predeblur_init(key, num_in_ch=3, num_feat=64, hr_in=False):
+    """Pre-deblur feature pyramid (reference edvr_arch.py:193-243)."""
+    keys = iter(jax.random.split(key, 16))
+    p = {'conv_first': conv_init(next(keys), num_in_ch, num_feat, 3, True)}
+    if hr_in:
+        p['stride_conv_hr1'] = conv_init(next(keys), num_feat, num_feat, 3, True)
+        p['stride_conv_hr2'] = conv_init(next(keys), num_feat, num_feat, 3, True)
+    p['stride_conv_l2'] = conv_init(next(keys), num_feat, num_feat, 3, True)
+    p['stride_conv_l3'] = conv_init(next(keys), num_feat, num_feat, 3, True)
+    p['resblock_l3'] = res_block_init(next(keys), num_feat)
+    p['resblock_l2_1'] = res_block_init(next(keys), num_feat)
+    p['resblock_l2_2'] = res_block_init(next(keys), num_feat)
+    p['resblock_l1'] = {str(i): res_block_init(next(keys), num_feat)
+                        for i in range(5)}
+    return p
+
+
+def predeblur_apply(p, x, hr_in=False):
+    """x: (N, H, W, C_in) -> (N, H[/4], W[/4], num_feat)
+    (reference edvr_arch.py:224-243; hr_in downsamples x4 first)."""
+    feat_l1 = lrelu(conv2d(p['conv_first'], x))
+    if hr_in:
+        feat_l1 = lrelu(conv2d(p['stride_conv_hr1'], feat_l1, stride=2))
+        feat_l1 = lrelu(conv2d(p['stride_conv_hr2'], feat_l1, stride=2))
+    feat_l2 = lrelu(conv2d(p['stride_conv_l2'], feat_l1, stride=2))
+    feat_l3 = lrelu(conv2d(p['stride_conv_l3'], feat_l2, stride=2))
+    feat_l3 = _up2(res_block_apply(p['resblock_l3'], feat_l3))
+    feat_l2 = res_block_apply(p['resblock_l2_1'], feat_l2) + feat_l3
+    feat_l2 = _up2(res_block_apply(p['resblock_l2_2'], feat_l2))
+    for i in range(2):
+        feat_l1 = res_block_apply(p['resblock_l1'][str(i)], feat_l1)
+    feat_l1 = feat_l1 + feat_l2
+    for i in range(2, 5):
+        feat_l1 = res_block_apply(p['resblock_l1'][str(i)], feat_l1)
+    return feat_l1
+
+
+# ---------------------------------------------------------------------------
 # EDVR
 # ---------------------------------------------------------------------------
 
 def edvr_init(key, num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
               deformable_groups=8, num_extract_block=5,
-              num_reconstruct_block=10, with_tsa=True):
+              num_reconstruct_block=10, with_tsa=True, with_predeblur=False,
+              hr_in=False):
     keys = iter(jax.random.split(key, 32))
-    p = {
-        'conv_first': conv_init(next(keys), num_in_ch, num_feat, 3, True),
+    if with_predeblur:
+        p = {'predeblur': predeblur_init(next(keys), num_in_ch, num_feat,
+                                         hr_in),
+             'conv_1x1': conv_init(next(keys), num_feat, num_feat, 1, True)}
+    else:
+        p = {'conv_first': conv_init(next(keys), num_in_ch, num_feat, 3,
+                                     True)}
+    p.update({
         'feature_extraction': {str(i): res_block_init(next(keys), num_feat)
                                for i in range(num_extract_block)},
         'conv_l2_1': conv_init(next(keys), num_feat, num_feat, 3, True),
@@ -192,7 +240,7 @@ def edvr_init(key, num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
         'upconv2': conv_init(next(keys), num_feat, 64 * 4, 3, True),
         'conv_hr': conv_init(next(keys), 64, 64, 3, True),
         'conv_last': conv_init(next(keys), 64, num_out_ch, 3, True),
-    }
+    })
     if with_tsa:
         p['fusion'] = tsa_fusion_init(next(keys), num_feat, num_frame)
     else:
@@ -201,14 +249,29 @@ def edvr_init(key, num_in_ch=3, num_out_ch=3, num_feat=64, num_frame=5,
 
 
 def edvr_apply(p, x, center_frame_idx=None, deformable_groups=8,
-               with_tsa=True):
-    """x: (N, T, H, W, C) -> (N, 4H, 4W, C_out)."""
+               with_tsa=True, hr_in=False):
+    """x: (N, T, H, W, C) -> (N, 4H, 4W, C_out) (or (N, H, W, C_out) when
+    hr_in: the input is already high-res and gets downsampled x4 inside the
+    predeblur module, reference edvr_arch.py:328-338,378-381)."""
     n, t, h, w, c = x.shape
+    if hr_in:
+        assert h % 16 == 0 and w % 16 == 0, \
+            'The height and width must be multiple of 16.'
+    else:
+        assert h % 4 == 0 and w % 4 == 0, \
+            'The height and width must be multiple of 4.'
     if center_frame_idx is None:
         center_frame_idx = t // 2
     x_center = x[:, center_frame_idx]
 
-    feat_l1 = lrelu(conv2d(p['conv_first'], x.reshape(n * t, h, w, c)))
+    if 'predeblur' in p:
+        feat_l1 = predeblur_apply(p['predeblur'], x.reshape(n * t, h, w, c),
+                                  hr_in)
+        feat_l1 = conv2d(p['conv_1x1'], feat_l1, padding=0)
+        if hr_in:
+            h, w = h // 4, w // 4
+    else:
+        feat_l1 = lrelu(conv2d(p['conv_first'], x.reshape(n * t, h, w, c)))
     for i in range(len(p['feature_extraction'])):
         feat_l1 = res_block_apply(p['feature_extraction'][str(i)], feat_l1)
     feat_l2 = lrelu(conv2d(p['conv_l2_1'], feat_l1, stride=2))
@@ -240,7 +303,8 @@ def edvr_apply(p, x, center_frame_idx=None, deformable_groups=8,
     out = lrelu(pixel_shuffle(conv2d(p['upconv2'], out), 2))
     out = lrelu(conv2d(p['conv_hr'], out))
     out = conv2d(p['conv_last'], out)
-    return out + bilinear_resize(x_center, 4)
+    base = x_center if hr_in else bilinear_resize(x_center, 4)
+    return out + base
 
 
 @ARCH_REGISTRY.register()
@@ -250,23 +314,23 @@ class EDVR:
                  num_reconstruct_block=10, center_frame_idx=None, hr_in=False,
                  with_predeblur=False, with_tsa=True, seed=0,
                  param_dtype=jnp.float32):
-        if with_predeblur or hr_in:
-            raise NotImplementedError('predeblur/hr_in EDVR variants pending')
         self.num_frame = num_frame
         self.center_frame_idx = (num_frame // 2 if center_frame_idx is None
                                  else center_frame_idx)
         self.deformable_groups = deformable_groups
         self.with_tsa = with_tsa
+        self.hr_in = hr_in
         self.params = jax.tree.map(
             lambda a: a.astype(param_dtype),
             edvr_init(jax.random.PRNGKey(seed), num_in_ch, num_out_ch,
                       num_feat, num_frame, deformable_groups,
-                      num_extract_block, num_reconstruct_block, with_tsa))
+                      num_extract_block, num_reconstruct_block, with_tsa,
+                      with_predeblur, hr_in))
 
     def apply(self, params, x_ntchw):
         x = jnp.transpose(jnp.asarray(x_ntchw), (0, 1, 3, 4, 2))
         y = edvr_apply(params, x, self.center_frame_idx,
-                       self.deformable_groups, self.with_tsa)
+                       self.deformable_groups, self.with_tsa, self.hr_in)
         return jnp.transpose(y, (0, 3, 1, 2))
 
     def __call__(self, x):

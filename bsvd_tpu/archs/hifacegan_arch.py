@@ -2,9 +2,19 @@
 plus the pix2pixHD-style multiscale discriminator, functional
 (reference: BasicSR/basicsr/archs/hifacegan_arch.py + hifacegan_util.py).
 
-Spectral norm on the conv weights is a training-time reparameterization; for
-inference the effective (normalized) weights are plain convs — the converter
-in tests folds ``weight_orig / sigma(u, v)``. Param trees mirror torch names.
+Spectral norm on the conv weights (norm_d='spectralinstance', reference
+hifacegan_util SpectralNorm) is applied two ways, matching how the params
+were produced:
+
+- training from scratch: discriminator convs carry a persistent power-
+  iteration vector ``u`` and every forward normalizes ``w / sigma`` with one
+  power iteration (the reference's train-mode behavior); the updated ``u``
+  is returned as aux for the engine to fold back after the optimizer step;
+- converted checkpoints: sigma is folded into the weight at conversion
+  (exact at eval, where torch freezes u/v), so params have no ``u`` and the
+  conv runs plain.
+
+Param trees mirror torch names.
 """
 
 import jax
@@ -174,29 +184,47 @@ def hifacegan_apply(p, x, scale_ratio=5, phase=4):
 # multiscale discriminator
 # ---------------------------------------------------------------------------
 
-def nlayer_discriminator_init(key, input_nc, n_layers_d=4, num_feat=64):
+def nlayer_discriminator_init(key, input_nc, n_layers_d=4, num_feat=64,
+                              spectral_norm=True):
+    from bsvd_tpu.archs.discriminator_arch import _sn_conv_init
+    mk = _sn_conv_init if spectral_norm else conv_init
     keys = iter(jax.random.split(key, n_layers_d + 2))
-    p = {'model0': {'0': conv_init(next(keys), input_nc, num_feat, 4, True)}}
+    p = {'model0': {'0': mk(next(keys), input_nc, num_feat, 4, True)}}
     nf = num_feat
     for n in range(1, n_layers_d):
         nf_prev, nf = nf, min(nf * 2, 512)
         # norm_layer(conv) => Sequential(conv(bias removed), InstanceNorm)
-        p[f'model{n}'] = {'0': {'0': conv_init(next(keys), nf_prev, nf, 4, False)}}
-    p[f'model{n_layers_d}'] = {'0': conv_init(next(keys), nf, 1, 4, True)}
+        p[f'model{n}'] = {'0': {'0': mk(next(keys), nf_prev, nf, 4, False)}}
+    p[f'model{n_layers_d}'] = {'0': mk(next(keys), nf, 1, 4, True)}
     return p
 
 
-def nlayer_discriminator_apply(p, x, n_layers_d=4, keep_features=True):
+def _nl_conv(p, x, stride, padding, aux, path):
+    """Conv that is spectral-normalized when params carry a power-iteration
+    'u' (training-from-scratch trees); the updated u lands in ``aux``."""
+    if 'u' in p:
+        from bsvd_tpu.archs.discriminator_arch import _sn_conv_apply
+        y, u = _sn_conv_apply(p, x, stride=stride, padding=padding)
+        aux[path] = u
+        return y
+    return conv2d(p, x, stride=stride, padding=padding)
+
+
+def nlayer_discriminator_apply(p, x, n_layers_d=4, keep_features=True,
+                               aux=None, path=''):
+    aux = {} if aux is None else aux
     results = []
-    h = x
-    h = _lrelu(conv2d(p['model0']['0'], h, stride=2, padding=2))
+    h = _nl_conv(p['model0']['0'], x, 2, 2, aux, f'{path}model0.0')
+    h = _lrelu(h)
     results.append(h)
     for n in range(1, n_layers_d):
         stride = 1 if n == n_layers_d - 1 else 2
-        h = conv2d(p[f'model{n}']['0']['0'], h, stride=stride, padding=2)
+        h = _nl_conv(p[f'model{n}']['0']['0'], h, stride, 2, aux,
+                     f'{path}model{n}.0.0')
         h = _lrelu(_instance_norm(h))
         results.append(h)
-    h = conv2d(p[f'model{n_layers_d}']['0'], h, stride=1, padding=2)
+    h = _nl_conv(p[f'model{n_layers_d}']['0'], h, 1, 2, aux,
+                 f'{path}model{n_layers_d}.0')
     results.append(h)
     return results if keep_features else results[-1]
 
@@ -211,13 +239,28 @@ def hifacegan_discriminator_init(key, num_in_ch=3, num_out_ch=3,
 
 
 def hifacegan_discriminator_apply(p, x, num_d=2, n_layers_d=4,
-                                  keep_features=True):
+                                  keep_features=True, aux=None):
     result = []
     for i in range(num_d):
         result.append(nlayer_discriminator_apply(
-            p[f'discriminator_{i}'], x, n_layers_d, keep_features))
+            p[f'discriminator_{i}'], x, n_layers_d, keep_features,
+            aux=aux, path=f'discriminator_{i}.'))
         x = _avg_pool_excl(x)
     return result
+
+
+def sn_aux_fold(params, aux):
+    """Store updated power-iteration vectors back into the param tree
+    (dot-separated paths produced by the apply fns above). Pure: rebuilds
+    only the dicts along each path, so it is jit-safe."""
+    def upd(node, parts, u):
+        if not parts:
+            return dict(node, u=u)
+        return dict(node, **{parts[0]: upd(node[parts[0]], parts[1:], u)})
+
+    for path, u in aux.items():
+        params = upd(params, path.split('.'), u)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -266,14 +309,14 @@ class HiFaceGANDiscriminator:
             num_d, n_layers_d, num_feat)
 
     def apply(self, params, x_nchw, train=False):
-        del train
         x = jnp.transpose(jnp.asarray(x_nchw), (0, 2, 3, 1))
+        aux = {}
         outs = hifacegan_discriminator_apply(params, x, self.num_d,
                                              self.n_layers_d,
-                                             self.keep_features)
+                                             self.keep_features, aux=aux)
         to_nchw = lambda t: jnp.transpose(t, (0, 3, 1, 2))  # noqa: E731
         return [[to_nchw(t) for t in d] if isinstance(d, list) else to_nchw(d)
-                for d in outs], {}
+                for d in outs], (aux if train else {})
 
     def __call__(self, x):
         return self.apply(self.params, x)[0]

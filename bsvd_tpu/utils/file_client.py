@@ -29,15 +29,17 @@ class HardDiskBackend(BaseStorageBackend):
 class LmdbBackend(BaseStorageBackend):
     """LMDB backend (reads values by key from one or more lmdb envs).
 
-    Requires the ``lmdb`` package; raises a clear error when missing.
+    Prefers the real ``lmdb`` package; falls back to the API-compatible
+    pure-Python store (bsvd_tpu/utils/_lmdb_compat.py) so lmdb-backed
+    datasets created by our tooling work without liblmdb.
     """
 
     def __init__(self, db_paths, client_keys='default', readonly=True,
                  lock=False, readahead=False, **kwargs):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError('lmdb backend requires the lmdb package') from e
+        except ImportError:
+            from bsvd_tpu.utils import _lmdb_compat as lmdb
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, list):

@@ -1,5 +1,8 @@
 """LMDB dataset creation (reference: BasicSR/basicsr/utils/lmdb_util.py —
-make_lmdb_from_imgs with meta_info.txt). Requires the ``lmdb`` package."""
+make_lmdb_from_imgs with meta_info.txt). Uses the real ``lmdb`` package
+when available; otherwise the API-compatible pure-Python log store in
+bsvd_tpu/utils/_lmdb_compat.py (same directory layout + meta_info.txt, but
+not an LMDB B-tree on disk)."""
 
 import os
 import sys
@@ -7,15 +10,20 @@ import sys
 import cv2
 
 
+def _lmdb():
+    try:
+        import lmdb
+    except ImportError:
+        from bsvd_tpu.utils import _lmdb_compat as lmdb
+    return lmdb
+
+
 def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
                         batch=5000, compress_level=1, map_size=None):
     """Write images into an lmdb with the BasicSR layout:
     data.mdb/lock.mdb/meta_info.txt; each meta line is
     ``<key>.png (h,w,c) <compress_level>``."""
-    try:
-        import lmdb
-    except ImportError as e:
-        raise ImportError('make_lmdb_from_imgs requires the lmdb package') from e
+    lmdb = _lmdb()
 
     assert len(img_path_list) == len(keys)
     print(f'Create lmdb for {data_path}, save to {lmdb_path}...')

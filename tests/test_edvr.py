@@ -121,3 +121,49 @@ def test_edvr_full_parity():
                      center_frame_idx=2, deformable_groups=4, with_tsa=True)
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('hr_in', [False, True])
+def test_edvr_predeblur_parity(hr_in):
+    """EDVR with_predeblur (and hr_in) vs the reference PredeblurModule
+    pipeline (reference edvr_arch.py:193-243, 294-296, 328-341, 378-381)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_util import load_reference
+    torch = pytest.importorskip('torch')
+    load_reference()
+    from basicsr.archs.edvr_arch import EDVR as RefNet
+    from bsvd_tpu.archs.edvr_arch import edvr_apply
+    from bsvd_tpu.convert.torch_generic import state_dict_to_tree
+
+    net = RefNet(num_in_ch=3, num_out_ch=3, num_feat=16, num_frame=3,
+                 deformable_groups=2, num_extract_block=1,
+                 num_reconstruct_block=1, with_tsa=True,
+                 with_predeblur=True, hr_in=hr_in).eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, state_dict_to_tree(state))
+    rng = np.random.default_rng(13)
+    size = 32 if hr_in else 16
+    x = rng.uniform(0, 1, (1, 3, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = edvr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+                     center_frame_idx=1, deformable_groups=2, with_tsa=True,
+                     hr_in=hr_in)
+    out_size = size if hr_in else size * 4
+    assert ref.shape == (1, 3, out_size, out_size)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-3, atol=2e-3)
+
+
+def test_edvr_predeblur_random_init_forward():
+    net = _small_edvr(with_predeblur=True)
+    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 3, 3, 16, 16)),
+                    jnp.float32)
+    y = net(x)
+    assert y.shape == (1, 3, 64, 64) and bool(jnp.isfinite(y).all())
+    net_hr = _small_edvr(with_predeblur=True, hr_in=True)
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (1, 3, 3, 32, 32)),
+                    jnp.float32)
+    y = net_hr(x)
+    assert y.shape == (1, 3, 32, 32) and bool(jnp.isfinite(y).all())

@@ -126,3 +126,39 @@ def test_hifacegan_train_step(tmp_path):
                               np.asarray(jax.tree.leaves(model.d_params)[0]))
     model.save(0, 3)
     assert (tmp_path / 'm' / 'net_d_3.npz').exists()
+
+
+def test_nlayer_discriminator_spectral_norm_training_path():
+    """Training-from-scratch D convs are spectral-normalized with a
+    persistent power-iteration u (reference hifacegan_util SpectralNorm):
+    scaling a weight leaves the (normalized) output invariant, and the
+    updated u folds back into the tree."""
+    from bsvd_tpu.archs.hifacegan_arch import (nlayer_discriminator_apply,
+                                               nlayer_discriminator_init,
+                                               sn_aux_fold)
+    p = nlayer_discriminator_init(jax.random.PRNGKey(0), 6, n_layers_d=3,
+                                  num_feat=8)
+    assert 'u' in p['model0']['0']
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 32, 32, 6)).astype(np.float32))
+
+    # converge u first so one-step estimates are stable
+    cur = p
+    for _ in range(30):
+        aux = {}
+        nlayer_discriminator_apply(cur, x, n_layers_d=3, aux=aux)
+        cur = sn_aux_fold(cur, aux)
+
+    aux1 = {}
+    out1 = nlayer_discriminator_apply(cur, x, n_layers_d=3, aux=aux1)[-1]
+    scaled = jax.tree.map(lambda a: a, cur)
+    scaled['model1']['0']['0'] = dict(scaled['model1']['0']['0'])
+    scaled['model1']['0']['0']['w'] = scaled['model1']['0']['0']['w'] * 10
+    aux2 = {}
+    out2 = nlayer_discriminator_apply(scaled, x, n_layers_d=3, aux=aux2)[-1]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-3, atol=1e-4)
+    assert set(aux1) == {'model0.0', 'model1.0.0', 'model2.0.0', 'model3.0'}
+    folded = sn_aux_fold(cur, aux1)
+    np.testing.assert_array_equal(np.asarray(folded['model1']['0']['0']['u']),
+                                  np.asarray(aux1['model1.0.0']))
