@@ -325,3 +325,52 @@ def test_validation_logs_once_after_all_folders(train_data, tmp_path, monkeypatc
     for folder, arr in model.metric_results.items():
         assert arr.mean() > 0, f'folder {folder} has zero metrics'
     assert result['psnr'] > 0
+
+
+def test_trained_net_denoises(train_data, tmp_path):
+    """Accuracy anchor (not just loss-goes-down): ~200 tiny-train steps on
+    synth data must produce a real denoiser — catches silent math breakage
+    that leaves the loss decreasing but the output useless.
+
+    Calibration (measured): the random init scores ~5.4 dB on the sigma-20
+    clip; 200 steps reach ~18.9 dB and keep climbing (the +22.3 dB noisy
+    baseline needs thousands of steps — out of CI budget). The bar is a
+    >=11 dB gain over init AND >=17 dB absolute; broken shift/conv/ckpt
+    math stalls near init or diverges, far below either."""
+    from bsvd_tpu.data import build_dataset
+    from bsvd_tpu.models import build_model
+    from bsvd_tpu.utils.options import parse_options
+    opt_path = _train_opt(train_data, tmp_path, total_iter=200)
+    opt, _ = parse_options(str(tmp_path), is_train=True, opt_path=opt_path)
+    opt['train']['ema_decay'] = 0           # score the raw trained params
+    os.makedirs(opt['path']['models'], exist_ok=True)
+    os.makedirs(opt['path']['training_states'], exist_ok=True)
+    model = build_model(opt)
+
+    val = build_dataset(opt['datasets']['val'])
+    item = val[0]
+
+    def psnr(a, b):
+        return -10.0 * np.log10(np.mean((a - b) ** 2))
+
+    def eval_psnr():
+        model.feed_data({k: item[k] for k in ('lq', 'gt', 'noise_map')})
+        model.test()
+        return psnr(np.clip(np.asarray(model.output), 0., 1.),
+                    np.asarray(item['gt']))
+
+    init_psnr = eval_psnr()
+    loader = build_dataset({**opt['datasets']['train'], 'num_devices': 2,
+                            'manual_seed': 0})
+    it = 0
+    for batch in loader:
+        it += 1
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+        if it >= 200:
+            break
+    loader.close()
+
+    denoised_psnr = eval_psnr()
+    assert denoised_psnr > init_psnr + 11.0, (init_psnr, denoised_psnr)
+    assert denoised_psnr > 17.0, (init_psnr, denoised_psnr)
