@@ -164,6 +164,32 @@ def _fused_ok(x, p, cfg):
                                 cfg.norm)
 
 
+def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
+    """Stride-1 3x3 conv (+ norm) + act site: fused Pallas path when
+    supported (identity norm, TPU, 3x3), XLA otherwise. ``act_name=None``
+    means use cfg.act; 'none' applies no activation (up-path convs)."""
+    name = cfg.act if act_name is None else act_name
+    # C >= 128 only: the C=64 width-folded kernel wins standalone but costs
+    # more E2E than it saves by breaking XLA's elementwise fusion around the
+    # full-res stems (measured: stems fused +52 ms, up-path fused -16 ms on
+    # the 540p flagship). The up-path convs (C=128/256) keep the win.
+    if cfg.use_fused and cfg.norm == 'none' and 'b' in conv_p \
+            and conv_p['w'].shape[0] == 3 and conv_p['w'].shape[2] >= 128 \
+            and name in ('relu', 'relu6', 'none'):
+        from bsvd_tpu.ops.conv3x3 import conv3x3, conv3x3_supported
+        n, t, h, w, c = x.shape
+        if conv3x3_supported((n * t, h, w, c), conv_p['w'].shape, x.dtype):
+            y = conv3x3(x.reshape(n * t, h, w, c), conv_p['w'],
+                        conv_p['b'], name)
+            return y.reshape(n, t, h, w, y.shape[-1])
+    y = conv2d(conv_p, x)
+    if norm_p is not None:
+        y = norm_apply(cfg.norm, norm_p, y)
+    if name == 'none':
+        return y
+    return act(y)
+
+
 def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None):
     """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
     convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
@@ -211,8 +237,8 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
         x0 = _shift(x0, cfg, sf2)
         x0 = act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
     else:
-        x0 = act(norm_apply(cfg.norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
-        x0 = act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+        x0 = _plain_conv_act(p['inc']['c1'], p['inc']['n1'], x, cfg, act)
+        x0 = _plain_conv_act(p['inc']['c2'], p['inc']['n2'], x0, cfg, act)
 
     d = p['down0']
     x1 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x0, stride=2)))
@@ -224,14 +250,16 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
 
     u = p['up2']
     x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
-    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
+    x2 = pixel_shuffle(_plain_conv_act(u['conv'], None, x2, cfg, act,
+                                       act_name='none'), 2)
 
     u = p['up1']
     x1 = _cvblock_apply(u['cv'], x1 + x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
-    x1 = pixel_shuffle(conv2d(u['conv'], x1), 2)
+    x1 = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
+                                       act_name='none'), 2)
 
     o = p['outc']
-    y = act(norm_apply(cfg.norm, o['n1'], conv2d(o['c1'], x0 + x1)))
+    y = _plain_conv_act(o['c1'], o['n1'], x0 + x1, cfg, act)
     y = conv2d(o['c2'], y)
 
     # Residual on the first residual_ch (RGB/raw) channels only

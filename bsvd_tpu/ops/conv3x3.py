@@ -1,0 +1,308 @@
+"""Pallas TPU kernel family: pipelined 3x3 conv (+ optional temporal shift)
++ bias + activation, NHWC, stride 1.
+
+This is the generation-2 kernel behind BSVD's hot ops (the reference's
+ShiftConv sites, bsvd_arch.py:21-51 / temporal_shift.py:40-47, plus the
+plain 3x3 conv sites of the WNet stages). Design, per the TPU hardware
+model:
+
+- **Ring-buffered HBM->VMEM DMA.** The grid iterates (row-block, frame)
+  with the frame axis minor, so consecutive steps reuse frame tiles: an
+  nring-slot VMEM ring holds the frames in use plus one in flight, and
+  each step DMAs exactly ONE new frame tile — 1x HBM traffic, overlapped
+  with the 9 MXU contractions of the current frame (software pipelining
+  with lookahead L: shift modes L=2/nring=4, plain conv L=1/nring=2).
+- **Zero fills only where needed**: the row/column halos, not whole tiles.
+- **Temporal shift as a lane select** on [0, 2*fold) with clip-boundary
+  masking (zeros at clip edges, exactly the reference semantics).
+- **fp32 accumulation** over 9 (M=bh*W, K=C, N=Cout) MXU dots, bias + act
+  fused in the epilogue.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COL0 = 8          # data column offset inside the tile (sublane alignment)
+
+
+def _ring_size(shift):
+    return 4 if shift != 'none' else 2
+
+
+def _pick_bh(h, w, c, cout, shift, vmem_budget=13 * 1024 * 1024):
+    """Largest divisor of H whose working set fits in VMEM.
+
+    Accounts for the ring slots plus the Mosaic-materialized temporaries of
+    the shifted-tile assembly (~2.5 tile equivalents for shift modes, ~1
+    for the plain conv)."""
+    nring = _ring_size(shift)
+    tmp_tiles = 2.5 if shift != 'none' else 1.0
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
+                     reverse=True):
+        tile = (bh + 2) * (w + 2 * _COL0) * c * 2
+        acc = bh * w * cout * 4
+        out = 2 * bh * w * cout * 2
+        wts = 9 * c * cout * 2 + cout * 4
+        if (int((nring + tmp_tiles) * tile) + acc + out + wts <= vmem_budget
+                and bh * w >= 512):
+            return bh
+    return None
+
+
+def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
+            c, cout, fold, act, shift):
+    hb = pl.program_id(0)
+    t = pl.program_id(1)
+    nhb = pl.num_programs(0)
+    nring = _ring_size(shift)
+    lookahead = 2 if shift != 'none' else 1
+    row0 = hb * bh
+    wp = w + 2 * _COL0
+
+    def frame_dmas(frame, slot):
+        """Three unconditional clamped copies for one frame tile:
+        main rows -> dst [1, bh+1), one-row top/bottom halos -> dst 0 and
+        bh+1 (clamped at image boundaries; fix_halo zeroes those rows)."""
+        f_idx = jnp.clip(frame, 0, nt - 1)
+        src = x_hbm.at[f_idx]
+        dst = ring.at[slot]
+        return (
+            pltpu.make_async_copy(
+                src.at[pl.ds(row0, bh), :, :],
+                dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
+                dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
+                dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
+                sems.at[slot, 2]),
+        )
+
+    def start(frame):
+        for d in frame_dmas(frame, (frame % nring)):
+            d.start()
+
+    def wait_fix(frame):
+        slot = frame % nring
+        for d in frame_dmas(frame, slot):
+            d.wait()
+        # zero rows the clamped halo DMAs filled with in-image garbage
+        @pl.when(hb == 0)
+        def _():
+            ring[slot, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
+
+        @pl.when(hb == nhb - 1)
+        def _():
+            ring[slot, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
+        # 3x3 column halo
+        ring[slot, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c), ring.dtype)
+        ring[slot, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
+                                                           ring.dtype)
+
+    @pl.when(t == 0)
+    def _():   # prologue for this row block
+        for fr in range(lookahead):
+            start(fr)
+        for fr in range(lookahead - 1):
+            wait_fix(fr)
+
+    # exactly one start per step except the last, so starts and waits
+    # balance per row block (a leaked signal would corrupt the next block)
+    @pl.when(t + 1 < nt)
+    def _():
+        start(t + lookahead)
+
+    wait_fix(t + lookahead - 1)
+
+    if shift == 'none':
+        tile = ring[t % nring]
+    else:
+        # assemble the shifted tile: lanes [0, fold) from frame t+1,
+        # [fold, 2*fold) from t-1 (causal: [0, 2*fold) from t-1), rest from
+        # t — with zeros at clip boundaries. Slicing BEFORE the boundary
+        # select keeps the temporaries at 2*fold lanes, not full tiles.
+        in_clip = t % t_len
+        has_fut = in_clip < (t_len - 1)
+        has_pst = in_clip > 0
+        cur = ring[t % nring]
+        if shift == 'causal':
+            head = ring[(t + nring - 1) % nring, :, :, 0:2 * fold]
+            head = jnp.where(has_pst, head, jnp.zeros_like(head))
+        else:
+            f1 = ring[(t + 1) % nring, :, :, 0:fold]
+            f1 = jnp.where(has_fut, f1, jnp.zeros_like(f1))
+            f2 = ring[(t + nring - 1) % nring, :, :, fold:2 * fold]
+            f2 = jnp.where(has_pst, f2, jnp.zeros_like(f2))
+            head = jnp.concatenate([f1, f2], axis=-1)
+        tile = jnp.concatenate([head, cur[:, :, 2 * fold:]], axis=-1)
+
+    a = jnp.zeros((bh, w, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = tile[ky:ky + bh, _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
+            a = a + lax.dot_general(
+                patch, w_ref[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    a = a + b_ref[...].astype(jnp.float32)
+    if act == 'relu':
+        a = jnp.maximum(a, 0)
+    elif act == 'relu6':
+        a = jnp.clip(a, 0, 6)
+    o_ref[...] = a.astype(o_ref.dtype)[None]
+
+
+def _fold_width(x, w, b):
+    """Reinterpret a C=64 conv as a C=128 conv on width-folded data.
+
+    Mosaic DMAs require 128-lane granularity, and K=64 only half-fills the
+    MXU; folding W by 2 into the lane dim (a free reshape — identical HBM
+    layout) gives K=N=128 dense matmuls at 2x the FLOPs, a large net win on
+    the full-resolution WNet stems (XLA runs those at 10-19 TF/s).
+
+    The folded kernel W2[dy, dj, hh*64+c, b*cout+c'] carries the original
+    tap W[dy, dx, c, c'] wherever 2*dj + hh - b == dx.
+    """
+    kh, kw, c, cout = w.shape
+    w2 = jnp.zeros((kh, 3, 2, c, 2, cout), w.dtype)
+    # output parity b=0: taps x(2j-1)=(dj-1,hh1), x(2j)=(0,0), x(2j+1)=(0,1)
+    w2 = w2.at[:, 0, 1, :, 0, :].set(w[:, 0])
+    w2 = w2.at[:, 1, 0, :, 0, :].set(w[:, 1])
+    w2 = w2.at[:, 1, 1, :, 0, :].set(w[:, 2])
+    # output parity b=1: taps x(2j)=(0,0), x(2j+1)=(0,1), x(2j+2)=(+1,0)
+    w2 = w2.at[:, 1, 0, :, 1, :].set(w[:, 0])
+    w2 = w2.at[:, 1, 1, :, 1, :].set(w[:, 1])
+    w2 = w2.at[:, 2, 0, :, 1, :].set(w[:, 2])
+    w2 = w2.reshape(kh, 3, 2 * c, 2 * cout)
+    nt, h, width, _ = x.shape
+    x2 = x.reshape(nt, h, width // 2, 2 * c)
+    b2 = jnp.concatenate([b, b], axis=0)   # out lane (b, c') is b-major
+    return x2, w2, b2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('t_len', 'shift', 'fold_div', 'act',
+                                    'bh', 'interpret'))
+def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
+                   act='relu6', bh=None, interpret=False):
+    """Fused (temporal-shift +) 3x3 conv (stride 1, pad 1) + bias + act.
+
+    Args:
+        x: (N*T, H, W, C) NHWC; for shift modes, clips of ``t_len`` frames
+            concatenated along axis 0. C must be a multiple of 128, or 64
+            (width-folded internally).
+        w: (3, 3, C, Cout); b: (Cout,).
+        shift: 'none' | 'tsm' | 'causal'.
+    Returns:
+        (N*T, H, W, Cout) in x.dtype.
+    """
+    nt, h, w_, c = x.shape
+    cout = w.shape[-1]
+    if c == 64 and shift == 'none' and w_ % 2 == 0:
+        x2, w2, b2 = _fold_width(x, w, b)
+        y = conv3x3_pallas(x2, w2, b2, t_len=t_len, shift='none', act=act,
+                           bh=bh, interpret=interpret)
+        return y.reshape(nt, h, w_, cout)
+    fold = c // fold_div
+    if shift != 'none':
+        assert t_len is not None and nt % t_len == 0, (nt, t_len)
+    if bh is None:
+        bh = _pick_bh(h, w_, c, cout, shift)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+    nring = _ring_size(shift)
+
+    kern = functools.partial(
+        _kernel, nt=nt, t_len=t_len if t_len else nt, bh=bh, h=h, w=w_, c=c,
+        cout=cout, fold=fold, act=act, shift=shift)
+
+    flops = 2 * 9 * c * cout * h * w_ * nt
+    return pl.pallas_call(
+        kern,
+        grid=(nhb, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # bias
+        ],
+        out_specs=pl.BlockSpec((1, bh, w_, cout),
+                               lambda hb, t: (t, hb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nring, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((nring, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=x.size * 2 * 2,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(x, w, b.reshape(1, cout))
+
+
+def _conv3x3_xla(x, w, b, act):
+    """XLA composite with identical semantics (oracle + backward)."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = y + b.astype(y.dtype)
+    if act == 'relu':
+        y = jnp.maximum(y, 0)
+    elif act == 'relu6':
+        y = jnp.clip(y, 0, jnp.asarray(6, y.dtype))
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3(x, w, b, act='relu6'):
+    """Differentiable fused 3x3 conv + bias + act: Pallas forward on TPU,
+    XLA composite backward (same math)."""
+    return conv3x3_pallas(x, w, b, shift='none', act=act)
+
+
+def _c3_fwd(x, w, b, act):
+    return conv3x3_pallas(x, w, b, shift='none', act=act), (x, w, b)
+
+
+def _c3_bwd(act, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x, w, b: _conv3x3_xla(x, w, b, act), x, w, b)
+    return vjp(g)
+
+
+conv3x3.defvjp(_c3_fwd, _c3_bwd)
+
+
+def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):
+    """Whether the fused kernel applies on this backend/shape.
+
+    Mosaic DMAs need 128-lane granularity: C must be a multiple of 128, or
+    exactly 64 for the plain conv (width-folded to 128)."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    if w_shape[0] != 3 or w_shape[1] != 3:
+        return False
+    if c == 64 and shift == 'none' and w_ % 2 == 0:
+        c, w_ = 128, w_ // 2
+        return _pick_bh(h, w_, c, 2 * w_shape[-1], shift) is not None
+    if c % 128 != 0:
+        return False
+    return _pick_bh(h, w_, c, w_shape[-1], shift) is not None

@@ -145,12 +145,13 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, cur, fut, pst, sems, *,
     o_ref[...] = a.astype(o_ref.dtype)[None]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('t_len', 'fold_div', 'act', 'causal',
-                                    'bh', 'interpret'))
 def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
                      causal=False, bh=None, interpret=False):
     """Fused temporal-shift + 3x3 conv (stride 1, pad 1) + bias + act.
+
+    Delegates to the generation-2 ring-buffered kernel
+    (bsvd_tpu/ops/conv3x3.py); this module keeps the public API, the
+    XLA-composite oracle and the custom_vjp wrapper.
 
     Args:
         x: (N*T, H, W, C) — clips of length ``t_len`` concatenated on axis 0.
@@ -158,6 +159,20 @@ def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
     Returns:
         (N*T, H, W, Cout) in x.dtype.
     """
+    from bsvd_tpu.ops.conv3x3 import conv3x3_pallas
+    return conv3x3_pallas(x, w, b, t_len=t_len,
+                          shift='causal' if causal else 'tsm',
+                          fold_div=fold_div, act=act, bh=bh,
+                          interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('t_len', 'fold_div', 'act', 'causal',
+                                    'bh', 'interpret'))
+def _shift_conv_fused_v1(x, w, b, *, t_len, fold_div=8, act='relu6',
+                         causal=False, bh=None, interpret=False):
+    """Generation-1 kernel (serialized 3-tile DMA + full-tile select); kept
+    as a reference implementation for A/B timing in tools/."""
     nt, h, w_, c = x.shape
     cout = w.shape[-1]
     fold = c // fold_div
@@ -250,12 +265,5 @@ def shift_conv_supported(x_shape, w_shape, dtype, norm):
     fused into the kernel epilogue), a valid row block, bf16/f32."""
     if norm != 'none':
         return False
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
-        return False
-    try:
-        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
-            return False
-    except Exception:
-        return False
-    nt, h, w_, c = x_shape
-    return _pick_bh(h, w_, c, w_shape[-1]) is not None
+    from bsvd_tpu.ops.conv3x3 import conv3x3_supported
+    return conv3x3_supported(x_shape, w_shape, dtype, shift='tsm')

@@ -52,3 +52,55 @@ def test_shift_conv_interpret_multi_rowblock_halo():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f'bh={bh}')
+
+
+@pytest.mark.parametrize('act', ['relu6', 'relu', 'none'])
+def test_plain_conv3x3_interpret_matches_xla(act):
+    """The shift='none' path of the gen-2 kernel (stems/up-path convs)."""
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+    x, w, b = _data(3, 12, 16, 16, 32, jnp.float32, seed=5)
+    ref = _conv3x3_xla(x, w, b, act)
+    for bh in (3, 6, 12):
+        got = conv3x3_pallas(x, w, b, shift='none', act=act, bh=bh,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f'bh={bh}')
+
+
+def test_plain_conv3x3_custom_vjp_gradients():
+    """conv3x3's Pallas-fwd/XLA-bwd custom_vjp == XLA composite grads."""
+    import jax
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3
+    x, w, b = _data(2, 8, 16, 8, 8, jnp.float32, seed=6)
+
+    def loss_fused(x, w, b):
+        # interpret-mode forward via the underlying kernel is exercised
+        # above; here the vjp wiring itself is validated on CPU where the
+        # forward falls back... custom_vjp forward must run, so use the
+        # XLA-equivalent loss for the reference only.
+        return jnp.sum(conv3x3(x, w, b, 'relu6') ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_conv3x3_xla(x, w, b, 'relu6') ** 2)
+
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    except Exception:
+        pytest.skip('Pallas forward unsupported on this backend')
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_plain_conv3x3_width_folded_c64():
+    """C=64 goes through the width-folding transform (Mosaic needs
+    128-lane DMA granularity): folded kernel == plain XLA conv."""
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+    x, w, b = _data(2, 8, 24, 64, 32, jnp.float32, seed=7)
+    ref = _conv3x3_xla(x, w, b, 'relu6')
+    got = conv3x3_pallas(x, w, b, shift='none', act='relu6', bh=4,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
