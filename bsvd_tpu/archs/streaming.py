@@ -26,6 +26,27 @@ from bsvd_tpu.nn.layers import conv2d, get_act, norm_apply, pixel_shuffle
 from bsvd_tpu.archs.wnet_arch import WNetConfig  # noqa: F401  (re-export for typing)
 
 
+def _conv_act_fused(conv_p, norm, norm_p, act, x, act_name):
+    """Streaming conv site: the fused Pallas plain-conv kernel when it
+    applies (identity norm, C >= 128 — the per-frame shift assembly already
+    happened via the carried buffers, so the conv itself is plain), XLA
+    otherwise. ``act_name=None`` forces the XLA path."""
+    if (act_name in ('relu', 'relu6', 'none') and norm == 'none'
+            and 'b' in conv_p and conv_p['w'].shape[0] == 3):
+        from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
+        n, h, w, c = x.shape
+        if c >= 128 and conv3x3_supported((n, h, w, c), conv_p['w'].shape,
+                                          x.dtype):
+            return conv3x3_pallas(x, conv_p['w'], conv_p['b'], shift='none',
+                                  act=act_name)
+    y = conv2d(conv_p, x)
+    if norm_p is not None:
+        y = norm_apply(norm, norm_p, y)
+    if act_name == 'none':
+        return y
+    return act(y)
+
+
 # ---------------------------------------------------------------------------
 # buffered temporal conv (BiBufferConv equivalent)
 # ---------------------------------------------------------------------------
@@ -54,7 +75,7 @@ def _is_true(cond):
 
 
 def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
-                   causal=False, assume_filled=False):
+                   causal=False, assume_filled=False, act_name=None):
     """One streaming step of shift-conv(+norm+act).
 
     Returns (new_state, out, out_valid). Bidirectional: conv input =
@@ -74,7 +95,7 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
     if causal:
         # out_t = conv([x_{t-1}[:2f], x_t[2f:]]) — operate on the live frame.
         inp = jnp.concatenate([state['left'], xz[..., 2 * fold:]], axis=-1)
-        out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
+        out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
         new_left = _sel(valid, x[..., :2 * fold], state['left'])
         new_state = {'left': new_left, 'center': state['center'],
                      'has_center': state['has_center']}
@@ -85,7 +106,7 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
         state['left'],                       # past slice (frame t-2)
         state['center'][..., 2 * fold:],     # current frame (t-1) body
     ], axis=-1)
-    out = act(norm_apply(norm, norm_p, conv2d(conv_p, inp)))
+    out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
     out_valid = can_compute
 
     new_left = _sel(can_compute,
@@ -179,12 +200,14 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
 
 
 def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
-                assume_filled=False):
+                assume_filled=False, act_name=None):
     """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149)."""
     s1, o1, v1 = _bibuffer_step(p['c1'], norm, p['n1'], act, st_pair[0], x,
-                                valid, fold_div, causal, assume_filled)
+                                valid, fold_div, causal, assume_filled,
+                                act_name)
     s2, o2, v2 = _bibuffer_step(p['c2'], norm, p['n2'], act, st_pair[1], o1,
-                                v1, fold_div, causal, assume_filled)
+                                v1, fold_div, causal, assume_filled,
+                                act_name)
     return [s1, s2], o2, v2
 
 
@@ -195,6 +218,13 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     norm = cfg.norm
     fd = cfg.fold_div
     causal = 'toFutureOnly' in cfg.shift_mode
+    # Measured on-chip: routing per-frame (NT=1) convs through the Pallas
+    # kernel REGRESSES streaming (32.8 -> 37.6 ms/frame, causal 27 -> 39):
+    # a single frame gets no cross-step ring reuse, so every row block pays
+    # a serialized DMA prologue, and ~18 custom-call boundaries per step
+    # break XLA's fusion. Streaming stays on XLA convs; _conv_act_fused
+    # remains for batched-streaming experiments (pass an act name).
+    an = None
     new_st = dict(st)
 
     new_st['skip1'] = _ring_push(st['skip1'], x[..., :cfg.residual_ch], valid)
@@ -217,26 +247,31 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     d = p['down0']
     y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
-                                          y, v0, fd, causal, assume_filled)
+                                          y, v0, fd, causal, assume_filled,
+                                          an)
     new_st['skip3'] = _ring_push(new_st['skip3'] if 'skip3' in new_st else st['skip3'], x1, v1)
 
     d = p['down1']
     y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
     new_st['down1'], x2, v2 = _memcv_step(d['cv'], norm, act, st['down1'],
-                                          y, v1, fd, causal, assume_filled)
+                                          y, v1, fd, causal, assume_filled,
+                                          an)
 
     u = p['up2']
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
-                                        x2, v2, fd, causal, assume_filled)
-    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
+                                        x2, v2, fd, causal, assume_filled,
+                                        an)
+    x2 = pixel_shuffle(_conv_act_fused(u['conv'], norm, None, act, x2,
+                                       'none' if an else None), 2)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
     u = p['up1']
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
-                                          causal, assume_filled)
-    x1u = pixel_shuffle(conv2d(u['conv'], x1u), 2)
+                                          causal, assume_filled, an)
+    x1u = pixel_shuffle(_conv_act_fused(u['conv'], norm, None, act, x1u,
+                                        'none' if an else None), 2)
 
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 

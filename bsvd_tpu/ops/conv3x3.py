@@ -272,13 +272,32 @@ def conv3x3(x, w, b, act='relu6'):
 
 
 def _c3_fwd(x, w, b, act):
-    return conv3x3_pallas(x, w, b, shift='none', act=act), (x, w, b)
+    y = conv3x3_pallas(x, w, b, shift='none', act=act)
+    return y, (x, w, b, y)
 
 
 def _c3_bwd(act, res, g):
-    x, w, b = res
-    _, vjp = jax.vjp(lambda x, w, b: _conv3x3_xla(x, w, b, act), x, w, b)
-    return vjp(g)
+    """Direct backward from saved (x, w, b, y): the activation mask comes
+    from the saved output, so the forward conv is never recomputed."""
+    from bsvd_tpu.ops.shift_conv import act_mask
+    x, w, b, y = res
+    mask = act_mask(y, act)
+    dz = g if mask is None else g * mask
+    db = dz.sum((0, 1, 2)).astype(b.dtype)
+
+    def conv_x(v):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def conv_w(v):
+        return lax.conv_general_dilated(
+            x, v, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    dx = jax.linear_transpose(conv_x, x)(dz)[0]
+    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    return dx, dw, db
 
 
 conv3x3.defvjp(_c3_fwd, _c3_bwd)

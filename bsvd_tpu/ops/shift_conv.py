@@ -245,16 +245,54 @@ def shift_conv(x, w, b, t_len, fold_div=8, act='relu6', causal=False):
 def _sc_fwd(x, w, b, t_len, fold_div, act, causal):
     y = shift_conv_fused(x, w, b, t_len=t_len, fold_div=fold_div, act=act,
                          causal=causal)
-    return y, (x, w, b)
+    return y, (x, w, b, y)
+
+
+def act_mask(y, act):
+    """Activation derivative recovered from the saved OUTPUT — no forward
+    recompute. (At the exact clip boundaries z==0/6 this is 0 where jax's
+    min/max tie convention gives 0.5 — a measure-zero difference.)"""
+    if act == 'relu':
+        return (y > 0).astype(y.dtype)
+    if act == 'relu6':
+        return jnp.logical_and(y > 0, y < jnp.asarray(6, y.dtype)).astype(
+            y.dtype)
+    return None
 
 
 def _sc_bwd(t_len, fold_div, act, causal, res, g):
-    x, w, b = res
-    _, vjp = jax.vjp(
-        lambda x, w, b: shift_conv_reference(
-            x, w, b, t_len=t_len, fold_div=fold_div, act=act, causal=causal),
-        x, w, b)
-    return vjp(g)
+    """Direct backward from saved (x, w, b, y): unlike a vjp through the
+    composite it does NOT re-run the forward conv — only the two transposed
+    convs (dx, dw) plus cheap data movement, ~1/3 less backward work at
+    every shift site."""
+    from bsvd_tpu.nn.shift import temporal_shift
+    x, w, b, y = res
+    nt, h, w_, c = x.shape
+    mode = 'TSM_toFutureOnly' if causal else 'TSM'
+
+    def shift_fn(v):
+        v5 = v.reshape(nt // t_len, t_len, h, w_, c)
+        return temporal_shift(v5, fold_div, mode).reshape(nt, h, w_, c)
+
+    xs = shift_fn(x)
+    mask = act_mask(y, act)
+    dz = g if mask is None else g * mask
+    db = dz.sum((0, 1, 2)).astype(b.dtype)
+
+    def conv_x(v):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def conv_w(v):
+        return lax.conv_general_dilated(
+            xs, v, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    dxs = jax.linear_transpose(conv_x, xs)(dz)[0]
+    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    dx = jax.linear_transpose(shift_fn, x)(dxs)[0]
+    return dx, dw, db
 
 
 shift_conv.defvjp(_sc_fwd, _sc_bwd)

@@ -104,3 +104,42 @@ def test_plain_conv3x3_width_folded_c64():
                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('case', ['tsm_relu6', 'causal_relu', 'none_act'])
+def test_direct_backward_matches_composite_vjp(case):
+    """_sc_bwd computes (dx, dw, db) directly from saved (x, w, b, y)
+    without re-running the forward; it must equal the vjp of the XLA
+    composite (away from exact clip boundaries)."""
+    import jax
+    from bsvd_tpu.ops.shift_conv import _sc_bwd, shift_conv_reference
+    causal = case.startswith('causal')
+    act = {'tsm_relu6': 'relu6', 'causal_relu': 'relu',
+           'none_act': 'none'}[case]
+    T = 3
+    x, w, b = _data(6, 10, 12, 16, 8, jnp.float32, seed=11)
+    f = lambda x, w, b: shift_conv_reference(   # noqa: E731
+        x, w, b, t_len=T, act=act, causal=causal)
+    y, vjp = jax.vjp(f, x, w, b)
+    g = jnp.asarray(np.random.default_rng(12).standard_normal(y.shape),
+                    jnp.float32)
+    ref = vjp(g)
+    got = _sc_bwd(T, 8, act, causal, (x, w, b, y), g)
+    for a, r, name in zip(got, ref, ('dx', 'dw', 'db')):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_plain_direct_backward_matches_composite_vjp():
+    import jax
+    from bsvd_tpu.ops.conv3x3 import _c3_bwd, _conv3x3_xla
+    x, w, b = _data(3, 8, 12, 16, 8, jnp.float32, seed=13)
+    f = lambda x, w, b: _conv3x3_xla(x, w, b, 'relu6')  # noqa: E731
+    y, vjp = jax.vjp(f, x, w, b)
+    g = jnp.asarray(np.random.default_rng(14).standard_normal(y.shape),
+                    jnp.float32)
+    ref = vjp(g)
+    got = _c3_bwd('relu6', (x, w, b, y), g)
+    for a, r, name in zip(got, ref, ('dx', 'dw', 'db')):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
