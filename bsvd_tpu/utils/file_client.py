@@ -64,16 +64,67 @@ class LmdbBackend(BaseStorageBackend):
 
 
 class MemcachedBackend(BaseStorageBackend):
+    """Memcached backend (reference file_client.py memcached branch, which
+    binds the mmcv/pymc client).
 
-    def __init__(self, server_list_cfg, client_cfg, sys_path=None):
-        raise NotImplementedError('memcached backend is not available in this '
-                                  'environment')
+    Implemented directly on the memcached TEXT protocol over a socket — no
+    client package needed. ``server_list_cfg`` is either a ``host:port``
+    string or a path to a file whose first non-comment line is
+    ``host:port`` (the mmcv server-list format); ``client_cfg`` is accepted
+    for signature parity and unused.
+    """
+
+    def __init__(self, server_list_cfg, client_cfg=None, sys_path=None):
+        del client_cfg, sys_path
+        import os
+        addr = server_list_cfg
+        if isinstance(addr, str) and os.path.exists(addr):
+            with open(addr) as f:
+                lines = [ln.strip() for ln in f
+                         if ln.strip() and not ln.startswith('#')]
+            addr = lines[0]
+        host, _, port = str(addr).rpartition(':')
+        self._addr = (host or 'localhost', int(port))
+        self._sock = None
+
+    def _connect(self):
+        if self._sock is None:
+            import socket
+            self._sock = socket.create_connection(self._addr, timeout=10)
+        return self._sock
+
+    def _readline(self, sock):
+        buf = b''
+        while not buf.endswith(b'\r\n'):
+            ch = sock.recv(1)
+            if not ch:
+                raise ConnectionError('memcached connection closed')
+            buf += ch
+        return buf[:-2]
 
     def get(self, filepath):
-        raise NotImplementedError
+        sock = self._connect()
+        key = str(filepath)
+        sock.sendall(f'get {key}\r\n'.encode())
+        header = self._readline(sock)
+        if header == b'END':
+            return None
+        # VALUE <key> <flags> <bytes>
+        parts = header.split()
+        nbytes = int(parts[3])
+        data = b''
+        while len(data) < nbytes:
+            chunk = sock.recv(nbytes - len(data))
+            if not chunk:
+                raise ConnectionError('memcached connection closed mid-value')
+            data += chunk
+        assert self._readline(sock) == b''        # value trailer CRLF
+        assert self._readline(sock) == b'END'
+        return data
 
     def get_text(self, filepath):
-        raise NotImplementedError
+        value = self.get(filepath)
+        return None if value is None else value.decode()
 
 
 class FileClient:

@@ -1,0 +1,140 @@
+"""download_util (against a localhost HTTP server — no egress needed),
+the memcached FileClient backend (against an in-process fake server
+speaking the memcached text protocol), and publish_models' sha logic."""
+
+import http.server
+import os
+import socket
+import socketserver
+import threading
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------- download
+@pytest.fixture()
+def http_file_server(tmp_path):
+    root = tmp_path / 'srv'
+    root.mkdir()
+    (root / 'model.bin').write_bytes(os.urandom(70000))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = socketserver.TCPServer(('127.0.0.1', 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield root, f'http://127.0.0.1:{httpd.server_address[1]}'
+    httpd.shutdown()
+
+
+def test_load_file_from_url_and_cache(http_file_server, tmp_path):
+    root, base = http_file_server
+    from bsvd_tpu.utils.download_util import load_file_from_url
+    out_dir = str(tmp_path / 'models')
+    path = load_file_from_url(f'{base}/model.bin', model_dir=out_dir)
+    assert open(path, 'rb').read() == (root / 'model.bin').read_bytes()
+    # cached: no re-download (delete the server file, call again)
+    (root / 'model.bin').unlink()
+    assert load_file_from_url(f'{base}/model.bin', model_dir=out_dir) == path
+
+
+def test_save_response_content_chunks(http_file_server, tmp_path):
+    root, base = http_file_server
+    import requests
+    from bsvd_tpu.utils.download_util import save_response_content
+    dest = str(tmp_path / 'out.bin')
+    with requests.get(f'{base}/model.bin', stream=True) as r:
+        save_response_content(r, dest, file_size=70000, chunk_size=4096)
+    assert open(dest, 'rb').read() == (root / 'model.bin').read_bytes()
+
+
+# ------------------------------------------------------------ memcached
+@pytest.fixture()
+def fake_memcached():
+    store = {'img_001': os.urandom(5000), 'hello': b'world'}
+    srv = socket.socket()
+    srv.bind(('127.0.0.1', 0))
+    srv.listen(1)
+
+    def handle(conn):
+        with conn:
+            buf = b''
+            while True:
+                try:
+                    data = conn.recv(4096)
+                except OSError:
+                    break
+                if not data:
+                    break
+                buf += data
+                while b'\r\n' in buf:
+                    line, buf = buf.split(b'\r\n', 1)
+                    parts = line.decode().split()
+                    if not parts:
+                        continue
+                    if parts[0] == 'get':
+                        key = parts[1]
+                        if key in store:
+                            v = store[key]
+                            conn.sendall(
+                                f'VALUE {key} 0 {len(v)}\r\n'.encode()
+                                + v + b'\r\nEND\r\n')
+                        else:
+                            conn.sendall(b'END\r\n')
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=handle, args=(conn,), daemon=True).start()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    yield store, f'127.0.0.1:{srv.getsockname()[1]}'
+    srv.close()
+
+
+def test_memcached_backend(fake_memcached, tmp_path):
+    store, addr = fake_memcached
+    from bsvd_tpu.utils.file_client import FileClient
+    client = FileClient('memcached', server_list_cfg=addr)
+    assert client.get('img_001') == store['img_001']
+    assert client.get_text('hello') == 'world'
+    assert client.get('missing') is None
+    # server-list file form (mmcv layout)
+    cfg = tmp_path / 'servers.txt'
+    cfg.write_text(f'# memcached servers\n{addr}\n')
+    client2 = FileClient('memcached', server_list_cfg=str(cfg))
+    assert client2.get('hello') == b'world'
+
+
+# ---------------------------------------------------------- publish sha
+def test_publish_models_sha_rename(tmp_path, monkeypatch):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'publish_models', 'scripts/publish_models.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    p = tmp_path / 'net_g.npz'
+    np.savez(str(p), **{'params.stage0.w': np.zeros(3)})
+    renamed = mod.update_sha([str(p)], assume_yes=True)
+    assert len(renamed) == 1 and '-' in os.path.basename(renamed[0])
+    sha = mod.file_sha8(renamed[0])
+    assert renamed[0].endswith(f'-{sha}.npz')
+    # stable: rerun renames nothing
+    assert mod.update_sha(renamed, assume_yes=True) == renamed
+    # stale hash is refreshed
+    stale = tmp_path / 'other-deadbeef.npz'
+    np.savez(str(stale), **{'params_ema.x': np.ones(2)})
+    out = mod.update_sha([str(stale)], assume_yes=True)
+    assert not out[0].endswith('-deadbeef.npz')
+    assert out[0].endswith(f'-{mod.file_sha8(out[0])}.npz')
