@@ -34,22 +34,26 @@ def _ring_size(shift):
     return 4 if shift != 'none' else 2
 
 
-def _pick_bh(h, w, c, cout, shift, vmem_budget=13 * 1024 * 1024):
+def _pick_bh(h, w, c, cout, shift, itemsize=2,
+             vmem_budget=15 * 1024 * 1024):
     """Largest divisor of H whose working set fits in VMEM.
 
-    Accounts for the ring slots plus the Mosaic-materialized temporaries of
-    the shifted-tile assembly (~2.5 tile equivalents for shift modes, ~1
-    for the plain conv)."""
+    Calibrated against Mosaic's observed allocations (see the fp32 OOM in
+    the git history): ring slots, ~2.5/1 tile equivalents of assembly
+    temporaries, DOUBLE the weight block (input-spec buffering) and double
+    the fp32 accumulator (the unrolled 9-dot chain keeps extra copies
+    live). ``itemsize`` is the input/output dtype width — fp32 tiles are
+    twice bf16's."""
     nring = _ring_size(shift)
     tmp_tiles = 2.5 if shift != 'none' else 1.0
     for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
                      reverse=True):
-        tile = (bh + 2) * (w + 2 * _COL0) * c * 2
+        tile = (bh + 2) * (w + 2 * _COL0) * c * itemsize
         acc = bh * w * cout * 4
-        out = 2 * bh * w * cout * 2
-        wts = 9 * c * cout * 2 + cout * 4
-        if (int((nring + tmp_tiles) * tile) + acc + out + wts <= vmem_budget
-                and bh * w >= 512):
+        out = 2 * bh * w * cout * itemsize
+        wts = 9 * c * cout * itemsize + cout * 4
+        total = int((nring + tmp_tiles) * tile) + 2 * acc + out + 2 * wts
+        if total <= vmem_budget and bh * w >= 512:
             return bh
     return None
 
@@ -215,7 +219,7 @@ def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
     if shift != 'none':
         assert t_len is not None and nt % t_len == 0, (nt, t_len)
     if bh is None:
-        bh = _pick_bh(h, w_, c, cout, shift)
+        bh = _pick_bh(h, w_, c, cout, shift, jnp.dtype(x.dtype).itemsize)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
@@ -319,9 +323,11 @@ def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):
     nt, h, w_, c = x_shape
     if w_shape[0] != 3 or w_shape[1] != 3:
         return False
+    itemsize = jnp.dtype(dtype).itemsize
     if c == 64 and shift == 'none' and w_ % 2 == 0:
         c, w_ = 128, w_ // 2
-        return _pick_bh(h, w_, c, 2 * w_shape[-1], shift) is not None
+        return _pick_bh(h, w_, c, 2 * w_shape[-1], shift,
+                        itemsize) is not None
     if c % 128 != 0:
         return False
-    return _pick_bh(h, w_, c, w_shape[-1], shift) is not None
+    return _pick_bh(h, w_, c, w_shape[-1], shift, itemsize) is not None
