@@ -261,8 +261,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
                                         x2, v2, fd, causal, assume_filled,
                                         an)
-    x2 = pixel_shuffle(_conv_act_fused(u['conv'], norm, None, act, x2,
-                                       'none' if an else None), 2)
+    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
@@ -270,8 +269,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
                                           causal, assume_filled, an)
-    x1u = pixel_shuffle(_conv_act_fused(u['conv'], norm, None, act, x1u,
-                                        'none' if an else None), 2)
+    x1u = pixel_shuffle(conv2d(u['conv'], x1u), 2)
 
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 

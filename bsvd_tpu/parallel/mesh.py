@@ -17,17 +17,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices=None, spatial=1, devices=None):
+def make_mesh(num_devices=None, spatial=1, devices=None, strict=True):
     """Build a ('data', 'spatial') mesh.
 
     Args:
         num_devices: total devices to use (None = all).
         spatial: size of the spatial axis (must divide num_devices).
+        strict: raise when ``spatial`` does not divide the device count — a
+            user config asking for a layout the slice cannot provide should
+            fail loudly. ``strict=False`` degrades to spatial=1 with a
+            warning (used by the driver's dryrun entry, which probes
+            whatever device count it is given).
     """
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs) if num_devices in (None, 'auto') else int(num_devices)
     n = max(1, min(n, len(devs)))
     if n % spatial != 0:
+        if strict:
+            raise ValueError(f'spatial axis {spatial} does not divide '
+                             f'device count {n}')
         import warnings
         warnings.warn(f'spatial axis {spatial} does not divide device count '
                       f'{n}; degrading to spatial=1', stacklevel=2)

@@ -59,14 +59,16 @@ class Environment:
         self.path = path
         self.readonly = readonly
         self._lock = threading.Lock()
-        os.makedirs(path, exist_ok=True)
         self._data_path = os.path.join(path, 'data.mdb')
         self._index = {}
         if os.path.exists(self._data_path):
             self._load_index()
         elif readonly:
+            # do NOT create the directory for a readonly open of a missing
+            # database (matching real lmdb's behavior)
             raise FileNotFoundError(f'no data.mdb under {path}')
         else:
+            os.makedirs(path, exist_ok=True)
             with io.open(self._data_path, 'wb') as f:
                 f.write(_MAGIC)
 

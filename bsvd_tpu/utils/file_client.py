@@ -103,14 +103,23 @@ class MemcachedBackend(BaseStorageBackend):
         return buf[:-2]
 
     def get(self, filepath):
-        sock = self._connect()
         key = str(filepath)
+        if ' ' in key or '\r' in key or '\n' in key or len(key) > 250:
+            raise ValueError(f'invalid memcached key: {key!r} (no '
+                             'whitespace/control chars, max 250 bytes)')
+        sock = self._connect()
         sock.sendall(f'get {key}\r\n'.encode())
         header = self._readline(sock)
         if header == b'END':
             return None
-        # VALUE <key> <flags> <bytes>
         parts = header.split()
+        if not parts or parts[0] != b'VALUE' or len(parts) < 4:
+            # ERROR / CLIENT_ERROR / SERVER_ERROR or garbage: surface it and
+            # drop the (now desynchronized) connection
+            self._sock.close()
+            self._sock = None
+            raise ConnectionError(
+                f'memcached error for key {key!r}: {header.decode(errors="replace")}')
         nbytes = int(parts[3])
         data = b''
         while len(data) < nbytes:

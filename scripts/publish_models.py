@@ -14,6 +14,7 @@ _sys.path.insert(0, __file__.rsplit('/', 2)[0])  # repo root when run as a scrip
 import argparse
 import glob
 import hashlib
+import re
 import os
 from os import path as osp
 
@@ -33,9 +34,8 @@ def check_keys(path, assume_yes=False):
         import numpy as np
         with np.load(path) as z:
             keys = set(k.split('/', 1)[0].split('.', 1)[0] for k in z.files)
-            has = any(k in z.files or k.startswith('params')
-                      for k in ('params', 'params_ema')) or \
-                any(f.startswith(('params', 'params_ema')) for f in z.files)
+            has = any(f == k or f.startswith((k + '.', k + '/'))
+                      for f in z.files for k in ('params', 'params_ema'))
     else:
         import torch
         net = torch.load(path, map_location='cpu')
@@ -81,9 +81,12 @@ def update_sha(paths, assume_yes=False):
         basename = osp.basename(path)
         ext = osp.splitext(path)[1]
         sha = file_sha8(path)
-        if '-' in basename:
-            old_sha = basename.split('-')[-1].split('.')[0]
-            if old_sha != sha:
+        # only a trailing 8-hex-char segment counts as an existing hash —
+        # descriptive names like bsvd-64.pth must not be truncated
+        stem = basename[: -len(ext)]
+        tail = stem.rsplit('-', 1)[-1] if '-' in stem else ''
+        if re.fullmatch(r'[0-9a-f]{8}', tail):
+            if tail != sha:
                 final = path.rsplit('-', 1)[0] + f'-{sha}{ext}'
             else:
                 renamed.append(path)

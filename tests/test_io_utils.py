@@ -138,3 +138,62 @@ def test_publish_models_sha_rename(tmp_path, monkeypatch):
     out = mod.update_sha([str(stale)], assume_yes=True)
     assert not out[0].endswith('-deadbeef.npz')
     assert out[0].endswith(f'-{mod.file_sha8(out[0])}.npz')
+
+
+def test_publish_models_preserves_descriptive_names(tmp_path):
+    """A trailing '-<segment>' that is not an 8-hex hash is part of the
+    name (bsvd-64.pth must become bsvd-64-<sha>.pth, not bsvd-<sha>.pth)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'publish_models2', 'scripts/publish_models.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = tmp_path / 'bsvd-64.npz'
+    np.savez(str(p), **{'params.w': np.ones(2)})
+    out = mod.update_sha([str(p)], assume_yes=True)
+    base = os.path.basename(out[0])
+    assert base.startswith('bsvd-64-') and base.endswith('.npz')
+
+
+def test_publish_models_check_keys_warns_on_missing_params(tmp_path, capsys):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'publish_models3', 'scripts/publish_models.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = tmp_path / 'broken.npz'
+    np.savez(str(p), **{'opt_state.count': np.zeros(1)})
+    mod.check_keys(str(p), assume_yes=True)
+    assert 'does not have' in capsys.readouterr().out
+    good = tmp_path / 'good.npz'
+    np.savez(str(good), **{'params_ema.w': np.ones(1)})
+    mod.check_keys(str(good), assume_yes=True)
+    assert 'does not have' not in capsys.readouterr().out
+
+
+def test_memcached_rejects_bad_keys_and_surfaces_errors(fake_memcached):
+    _, addr = fake_memcached
+    from bsvd_tpu.utils.file_client import FileClient
+    client = FileClient('memcached', server_list_cfg=addr)
+    with pytest.raises(ValueError):
+        client.get('key with space')
+    with pytest.raises(ValueError):
+        client.get('k' * 251)
+
+
+def test_lmdb_compat_readonly_does_not_create_dir(tmp_path):
+    from bsvd_tpu.utils import _lmdb_compat as kv
+    missing = tmp_path / 'nope.lmdb'
+    with pytest.raises(FileNotFoundError):
+        kv.open(str(missing), readonly=True)
+    assert not missing.exists()
+
+
+def test_make_mesh_strict_raises_on_bad_spatial():
+    from bsvd_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError):
+        make_mesh(3, spatial=2)
+    # non-strict degrades with a warning (the dryrun entry's mode)
+    with pytest.warns(UserWarning):
+        m = make_mesh(3, spatial=2, strict=False)
+    assert dict(m.shape) == {'data': 3, 'spatial': 1}
