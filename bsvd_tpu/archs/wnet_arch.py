@@ -219,11 +219,136 @@ def _shift_conv_act_site(conv_p, norm_p, x, cfg, act):
     return act(norm_apply(cfg.norm, norm_p, conv2d(conv_p, xs)))
 
 
+# ---------------------------------------------------------------------------
+# width-folded full-resolution segment
+# ---------------------------------------------------------------------------
+# Site-level A/Bs (PERF.md) showed any C=64 540p tensor crossing an
+# XLA<->Pallas boundary degrades the surrounding XLA program badly, while
+# C>=128 boundaries are cheap. The folded path therefore runs the whole
+# full-resolution segment on the (H, W/2, 2C) VIEW of every tensor (a free
+# row-major reshape): the stems become dense C>=128 convs with exactly
+# transformed weights (ops/conv3x3.fold_width_weights) — Pallas where
+# supported, XLA folded otherwise — and down0's stride-2 conv keeps only
+# its H stride (fold_width_stride2_weights). Numerics are exact up to fp
+# summation order (CPU-equivalence-tested in tests/test_wnet_folded.py).
+
+def _fold2(x):
+    n, t, h, w, c = x.shape
+    return x.reshape(n, t, h, w // 2, 2 * c)
+
+
+def _unfold2(x):
+    n, t, h, w2, c2 = x.shape
+    return x.reshape(n, t, h, w2 * 2, c2 // 2)
+
+
+def _folded_stems_ok(x, cfg):
+    """Gate for the width-folded full-res segment: fused mode, identity
+    norm, plain (non-shifted) stems, even W, TPU backend (the folded path
+    is exact everywhere, but only pays off where the boundary effects it
+    sidesteps exist; tests call _stage_apply_folded directly on CPU)."""
+    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
+        return False
+    if x.shape[-2] % 2 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform in ('tpu', 'TPU', 'axon')
+    except Exception:
+        return False
+
+
+def _site_folded(conv_p, x_f, cfg, act, act_name):
+    """One folded conv site: conv with width-folded weights on the folded
+    activation — the Pallas kernel when the folded shape qualifies, a
+    plain XLA conv otherwise."""
+    from bsvd_tpu.ops.conv3x3 import fold_width_weights
+    w2, b2 = fold_width_weights(conv_p['w'], conv_p['b'])
+    n, t, h, wf, c2 = x_f.shape
+    if cfg.use_fused and c2 >= 128:
+        from bsvd_tpu.ops.conv3x3 import conv3x3, conv3x3_supported
+        if conv3x3_supported((n * t, h, wf, c2), w2.shape, x_f.dtype):
+            y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name)
+            return y.reshape(n, t, h, wf, y.shape[-1])
+    y = conv2d({'w': w2, 'b': b2}, x_f)
+    return y if act_name == 'none' else act(y)
+
+
+def _down_folded(conv_p, norm_p, x_f, cfg, act):
+    """Stride-2 down conv from the folded domain -> NATURAL half-res
+    output (which the shift-conv blocks consume)."""
+    from bsvd_tpu.ops.conv3x3 import fold_width_stride2_weights
+    w2, b2 = fold_width_stride2_weights(conv_p['w'], conv_p['b'])
+    n, t, h, wf, c2 = x_f.shape
+    xm = x_f.reshape(n * t, h, wf, c2)
+    y = jax.lax.conv_general_dilated(
+        xm, w2, (2, 1), ((1, 1), (1, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = y + b2.astype(y.dtype)
+    y = y.reshape(n, t, y.shape[1], y.shape[2], y.shape[3])
+    return act(norm_apply(cfg.norm, norm_p, y))
+
+
+def _slice_folded_channels(x_f, c, lo, hi):
+    """x_f folded with per-half channel count ``c``: take original
+    channels [lo, hi) of each half -> folded (.., 2*(hi-lo))."""
+    n, t, h, wf, _ = x_f.shape
+    v = x_f.reshape(n, t, h, wf, 2, c)[..., lo:hi]
+    return v.reshape(n, t, h, wf, 2 * (hi - lo))
+
+
+def _stage_apply_folded(p, x, cfg, act):
+    """DenBlock stage with the full-res segment in the folded domain.
+    Mirrors _stage_apply exactly (same site order/semantics)."""
+    from bsvd_tpu.nn.layers import pixel_shuffle
+    xf = _fold2(x)
+    in_ch = x.shape[-1]
+
+    x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
+    x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
+
+    x1 = _down_folded(p['down0']['conv'], p['down0']['n'], x0, cfg, act)
+    x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True)
+
+    d = p['down1']
+    x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True)
+
+    u = p['up2']
+    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True)
+    x2 = pixel_shuffle(_plain_conv_act(u['conv'], None, x2, cfg, act,
+                                       act_name='none'), 2)
+
+    u = p['up1']
+    x1 = _cvblock_apply(u['cv'], x1 + x2, cfg, act, True)
+    x1u = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
+                                        act_name='none'), 2)
+    x1uf = _fold2(x1u)    # free: same row-major buffer
+
+    o = p['outc']
+    y = _site_folded(o['c1'], x0 + x1uf, cfg, act, cfg.act)
+    y = _site_folded(o['c2'], y, cfg, act, 'none')
+
+    # residual on the first residual_ch channels, in the folded domain
+    rc = cfg.residual_ch
+    s_out = y.shape[-1] // 2
+    res = (_slice_folded_channels(xf, in_ch, 0, rc)
+           - _slice_folded_channels(y, s_out, 0, rc))
+    rest = _slice_folded_channels(y, s_out, rc, s_out)
+    n, t, h, wf, _ = y.shape
+    out_f = jnp.concatenate(
+        [res.reshape(n, t, h, wf, 2, rc),
+         rest.reshape(n, t, h, wf, 2, s_out - rc)],
+        axis=-1).reshape(n, t, h, wf, 2 * s_out)
+    return _unfold2(out_f)
+
+
 def _stage_apply(p, x, cfg, act, shift_fns=None):
     """One DenBlock stage. ``shift_fns``: optional list of per-shift-site
     closures (used by chunked inference to thread carries); consumed in call
     order via a mutable iterator."""
     from bsvd_tpu.nn.layers import pixel_shuffle
+    if shift_fns is None and _folded_stems_ok(x, cfg):
+        return _stage_apply_folded(p, x, cfg, act)
 
     def next_shift():
         if shift_fns is None:

@@ -46,12 +46,16 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
     twice bf16's."""
     nring = _ring_size(shift)
     tmp_tiles = 2.5 if shift != 'none' else 1.0
+    # VMEM buffers are lane-padded to multiples of 128 (observed: a Cout=6
+    # output block allocates 128 lanes)
+    c_pad = -(-c // 128) * 128
+    cout_pad = -(-cout // 128) * 128
     for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
                      reverse=True):
-        tile = (bh + 2) * (w + 2 * _COL0) * c * itemsize
-        acc = bh * w * cout * 4
-        out = 2 * bh * w * cout * itemsize
-        wts = 9 * c * cout * itemsize + cout * 4
+        tile = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
+        acc = bh * w * cout_pad * 4
+        out = 2 * bh * w * cout_pad * itemsize
+        wts = 9 * c_pad * cout_pad * itemsize + cout_pad * 4
         total = int((nring + tmp_tiles) * tile) + 2 * acc + out + 2 * wts
         if total <= vmem_budget and bh * w >= 512:
             return bh
@@ -164,17 +168,14 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
     o_ref[...] = a.astype(o_ref.dtype)[None]
 
 
-def _fold_width(x, w, b):
-    """Reinterpret a C=64 conv as a C=128 conv on width-folded data.
+def fold_width_weights(w, b):
+    """Width-fold a stride-1 3x3 conv's weights: (3, 3, C, Cout) ->
+    (3, 3, 2C, 2Cout) operating on the (H, W/2, 2C) view of the input (a
+    FREE reshape of the row-major NHWC buffer; folded lane = (w%2)*C + c).
 
-    Mosaic DMAs require 128-lane granularity, and K=64 only half-fills the
-    MXU; folding W by 2 into the lane dim (a free reshape — identical HBM
-    layout) gives K=N=128 dense matmuls at 2x the FLOPs, a large net win on
-    the full-resolution WNet stems (XLA runs those at 10-19 TF/s).
-
-    The folded kernel W2[dy, dj, hh*64+c, b*cout+c'] carries the original
-    tap W[dy, dx, c, c'] wherever 2*dj + hh - b == dx.
-    """
+    The folded kernel W2[dy, dj, hh*C+c, b*Cout+c'] carries the original
+    tap W[dy, dx, c, c'] wherever 2*dj + hh - b == dx — exact, at 2x the
+    FLOPs but with a dense, 128-lane-friendly contraction."""
     kh, kw, c, cout = w.shape
     w2 = jnp.zeros((kh, 3, 2, c, 2, cout), w.dtype)
     # output parity b=0: taps x(2j-1)=(dj-1,hh1), x(2j)=(0,0), x(2j+1)=(0,1)
@@ -186,10 +187,29 @@ def _fold_width(x, w, b):
     w2 = w2.at[:, 1, 1, :, 1, :].set(w[:, 1])
     w2 = w2.at[:, 2, 0, :, 1, :].set(w[:, 2])
     w2 = w2.reshape(kh, 3, 2 * c, 2 * cout)
-    nt, h, width, _ = x.shape
-    x2 = x.reshape(nt, h, width // 2, 2 * c)
     b2 = jnp.concatenate([b, b], axis=0)   # out lane (b, c') is b-major
-    return x2, w2, b2
+    return w2, b2
+
+
+def fold_width_stride2_weights(w, b):
+    """Width-fold a stride-(2,2) 3x3 conv (pad 1): (3, 3, C, Cout) ->
+    (3, 2, 2C, Cout) consumed as an H-stride-2, W-stride-1 conv on the
+    (H, W/2, 2C) view with padding ((1,1),(1,0)) — the W stride folds away:
+    output col q taps folded cols {q-1 (half 1), q (halves 0,1)}."""
+    kh, kw, c, cout = w.shape
+    w2 = jnp.zeros((kh, 2, 2, c, cout), w.dtype)
+    w2 = w2.at[:, 0, 1].set(w[:, 0])    # x(2q-1) = (q-1, h1)
+    w2 = w2.at[:, 1, 0].set(w[:, 1])    # x(2q)   = (q,   h0)
+    w2 = w2.at[:, 1, 1].set(w[:, 2])    # x(2q+1) = (q,   h1)
+    return w2.reshape(kh, 2, 2 * c, cout), b
+
+
+def _fold_width(x, w, b):
+    """(see fold_width_weights) — x view + weight fold in one step, used
+    by the kernel's internal C=64 path."""
+    nt, h, width, c = x.shape
+    w2, b2 = fold_width_weights(w, b)
+    return x.reshape(nt, h, width // 2, 2 * c), w2, b2
 
 
 @functools.partial(jax.jit,
