@@ -211,6 +211,48 @@ def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
     return [s1, s2], o2, v2
 
 
+
+def _fold2s(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def _unfold2s(x):
+    n, h, w2, c2 = x.shape
+    return x.reshape(n, h, w2 * 2, c2 // 2)
+
+
+def _folded_stream_ok(x, cfg):
+    """Width-folded XLA stems for the per-frame streaming step: same trick
+    as wnet_arch._stage_apply_folded but XLA-only (the Pallas kernel
+    regresses at NT=1) — the folded convs are dense 128-lane contractions
+    instead of C=64/C=4 shapes XLA runs slowly at 540p."""
+    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
+        return False
+    if x.shape[-2] % 2 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform in ('tpu', 'TPU', 'axon')
+    except Exception:
+        return False
+
+
+def _xla_site_folded(conv_p, x_f, act, act_name='act'):
+    from bsvd_tpu.ops.conv3x3 import fold_width_weights
+    w2, b2 = fold_width_weights(conv_p['w'], conv_p['b'])
+    y = conv2d({'w': w2, 'b': b2}, x_f)
+    return y if act_name == 'none' else act(y)
+
+
+def _xla_down_folded(conv_p, x_f, act):
+    from bsvd_tpu.ops.conv3x3 import fold_width_stride2_weights
+    w2, b2 = fold_width_stride2_weights(conv_p['w'], conv_p['b'])
+    y = lax.conv_general_dilated(
+        x_f, w2, (2, 1), ((1, 1), (1, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return act(y + b2.astype(y.dtype))
+
+
 def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     """One frame through one DenBlock stage (streaming DenBlock.forward,
     bsvd_arch.py:374-396). ``assume_filled=True`` (static) treats every
@@ -229,6 +271,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
 
     new_st['skip1'] = _ring_push(st['skip1'], x[..., :cfg.residual_ch], valid)
 
+    folded = _folded_stream_ok(x, cfg)
     if cfg.shift_input:
         s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
                                     st['inc'][0], x, valid, fd, causal,
@@ -237,6 +280,11 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
                                     st['inc'][1], x0, v0, fd, causal,
                                     assume_filled)
         new_st['inc'] = [s1, s2]
+    elif folded:
+        x0f = _xla_site_folded(p['inc']['c1'], _fold2s(x), act)
+        x0f = _xla_site_folded(p['inc']['c2'], x0f, act)
+        x0 = _unfold2s(x0f)     # free reshape; skips/buffers stay natural
+        v0 = valid
     else:
         x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
         x0 = act(norm_apply(norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
@@ -245,7 +293,10 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['skip2'] = _ring_push(st['skip2'], x0, v0)
 
     d = p['down0']
-    y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
+    if folded:
+        y = _xla_down_folded(d['conv'], _fold2s(x0), act)
+    else:
+        y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
                                           y, v0, fd, causal, assume_filled,
                                           an)
@@ -274,8 +325,14 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 
     o = p['outc']
-    y = act(norm_apply(norm, o['n1'], conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
-    y = conv2d(o['c2'], y)
+    if folded:
+        yf = _xla_site_folded(o['c1'],
+                              _fold2s(x1u + sk2.astype(x1u.dtype)), act)
+        y = _unfold2s(_xla_site_folded(o['c2'], yf, act, act_name='none'))
+    else:
+        y = act(norm_apply(norm, o['n1'],
+                           conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
+        y = conv2d(o['c2'], y)
 
     new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
     rc = cfg.residual_ch

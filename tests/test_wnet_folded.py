@@ -72,3 +72,27 @@ def test_fold_width_stride2_weights_match_strided_conv():
         dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b2
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_folded_streaming_step_matches_plain(monkeypatch):
+    """The folded streaming stems (XLA width-folded convs) == the plain
+    streaming step. The gate is TPU-only; force it on for CPU testing."""
+    import bsvd_tpu.archs.streaming as st
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    frames = [jnp.asarray(rng.uniform(0, 1, (1, 8, 16, 4)), jnp.float32)
+              for _ in range(5)]
+
+    def run():
+        state = st.stream_init(cfg, 1, 8, 16, jnp.float32)
+        outs = []
+        for f in frames:
+            state, y, valid = st.stream_step(params, state, f, True, cfg)
+            outs.append(np.asarray(y))
+        return np.stack(outs)
+
+    plain = run()
+    monkeypatch.setattr(st, '_folded_stream_ok', lambda x, cfg: True)
+    folded = run()
+    np.testing.assert_allclose(folded, plain, rtol=1e-5, atol=1e-5)
