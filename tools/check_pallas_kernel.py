@@ -28,3 +28,17 @@ x2 = jnp.asarray(rng.standard_normal((8, H, W, C)), jnp.float32)
 ref = shift_conv_reference(x2, w, b, t_len=4)
 got = shift_conv_fused(x2, w, b, t_len=4)
 print('N=2 max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+# gen-2 plain conv variants (stems/up-path) + width folding, on-chip
+from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+
+ref = _conv3x3_xla(x, w, b, 'relu6')
+got = conv3x3_pallas(x, w, b, shift='none', act='relu6')
+print('plain C=128 max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+x64 = jnp.asarray(rng.standard_normal((2, 16, 64, 64)), jnp.float32)
+w64 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.float32)
+b64 = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+ref = _conv3x3_xla(x64, w64, b64, 'relu6')
+got = conv3x3_pallas(x64, w64, b64, shift='none', act='relu6')
+print('width-folded C=64 max diff:', float(jnp.max(jnp.abs(got - ref))))
