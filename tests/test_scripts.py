@@ -118,3 +118,106 @@ def test_convert_to_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     y = net2(jnp.zeros((1, 3, 8, 8)))
     assert y.shape == (1, 3, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# TF-free tfrecords extractor + matlab-script ports + dataset downloader
+# ---------------------------------------------------------------------------
+
+def _varint(n):
+    out = b''
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _pb_field(num, wire, payload):
+    key = _varint((num << 3) | wire)
+    if wire == 2:
+        return key + _varint(len(payload)) + payload
+    return key + _varint(payload)
+
+
+def _tf_example(shape, data):
+    """Hand-serialize a tf.train.Example with int64 'shape' + bytes 'data'."""
+    int64_list = b''.join(_pb_field(1, 0, v) for v in shape)
+    feat_shape = _pb_field(3, 2, int64_list)           # Feature.int64_list
+    feat_data = _pb_field(1, 2, _pb_field(1, 2, data))  # Feature.bytes_list
+    entry_s = _pb_field(1, 2, b'shape') + _pb_field(2, 2, feat_shape)
+    entry_d = _pb_field(1, 2, b'data') + _pb_field(2, 2, feat_data)
+    features = _pb_field(1, 2, entry_s) + _pb_field(1, 2, entry_d)
+    return _pb_field(1, 2, features)                   # Example.features
+
+
+def _write_tfrecord(path, payloads):
+    import struct
+    with open(path, 'wb') as f:
+        for p in payloads:
+            f.write(struct.pack('<Q', len(p)) + b'\0\0\0\0' + p + b'\0\0\0\0')
+
+
+def test_extract_images_from_tfrecords_ffhq(tmp_path):
+    tfx = _load('data_preparation/extract_images_from_tfrecords.py', '_t_tfx')
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (3, 16, 16), dtype=np.uint8)
+            for _ in range(2)]
+    rec = tmp_path / 'ffhq-r04.tfrecords'
+    _write_tfrecord(str(rec), [_tf_example([3, 16, 16], im.tobytes())
+                               for im in imgs])
+    n = tfx.convert_ffhq_tfrecords(str(rec), 4, str(tmp_path),
+                                   save_type='img')
+    assert n == 2
+    out0 = cv2.imread(str(tmp_path / 'ffhq_16' / '00000000.png'))
+    # extractor writes BGR; records hold CHW RGB
+    np.testing.assert_array_equal(
+        out0, imgs[0].transpose(1, 2, 0)[:, :, ::-1])
+
+
+def test_extract_images_from_tfrecords_celeba_lmdb(tmp_path):
+    pytest.importorskip('lmdb')
+    tfx = _load('data_preparation/extract_images_from_tfrecords.py', '_t_tfx2')
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    rec = tmp_path / 'validation-r03.tfrecords'
+    _write_tfrecord(str(rec), [_tf_example([8, 8, 3], img.tobytes())])
+    tfx.convert_celeba_tfrecords(str(rec), 3, str(tmp_path), save_type='lmdb')
+    from bsvd_tpu.utils.file_client import FileClient
+    client = FileClient('lmdb', db_paths=[str(
+        tmp_path / 'celeba_8_validation.lmdb')], client_keys=['x'])
+    buf = client.get('00000000/r03', 'x')
+    got = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(got, img[:, :, ::-1])
+
+
+def test_generate_bicubic_img(tmp_path):
+    gb = _load('matlab_scripts/generate_bicubic_img.py', '_t_genbic')
+    from bsvd_tpu.utils.matlab_functions import imresize
+    src = tmp_path / 'src'
+    os.makedirs(src)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (37, 41, 3), dtype=np.uint8)
+    cv2.imwrite(str(src / 'pic.png'), img)
+    gb.process_folder(str(src), mod_scale=4, up_scale=2,
+                      save_mod=str(tmp_path / 'mod'),
+                      save_lr=str(tmp_path / 'lr'),
+                      save_bic=str(tmp_path / 'bic'))
+    mod = cv2.imread(str(tmp_path / 'mod' / 'pic.png'))
+    np.testing.assert_array_equal(mod, img[:36, :40])
+    lr = cv2.imread(str(tmp_path / 'lr' / 'pic.png'))
+    want = imresize(img[:36, :40].astype(np.float64) / 255.0, 0.5)
+    np.testing.assert_array_equal(
+        lr, (np.clip(want, 0, 1) * 255.0).round().astype(np.uint8))
+    assert cv2.imread(str(tmp_path / 'bic' / 'pic.png')).shape == (36, 40, 3)
+
+
+def test_download_datasets_unzip_flattens(tmp_path):
+    dd = _load('data_preparation/download_datasets.py', '_t_dlsets')
+    import zipfile
+    zpath = tmp_path / 'Set5.zip'
+    with zipfile.ZipFile(zpath, 'w') as zf:
+        zf.writestr('Set5/baby.png', b'png-bytes')
+    dd._unzip(str(zpath))
+    assert (tmp_path / 'Set5' / 'baby.png').read_bytes() == b'png-bytes'
