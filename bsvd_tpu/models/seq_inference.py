@@ -33,6 +33,69 @@ def _chunk_forward(params, x, cfg, carries, future_buffer_len):
     return jnp.clip(out, 0., 1.), new_carries
 
 
+def _zero_carries(params, chunk, cfg, future):
+    """Zero-filled carry pytree with the shapes the first chunk would emit —
+    numerically identical to carry=None (the shift's zero boundary)."""
+    _, shapes = jax.eval_shape(
+        lambda p, c: wnet_apply_chunk(p, c, cfg, None,
+                                      future_buffer_len=future), params, chunk)
+    return [jnp.zeros(s.shape, s.dtype) for s in shapes]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _chunked_mimo_device(params, x, cfg, psz, future):
+    """The whole temp_psz protocol as ONE device program: a scan over the
+    look-ahead chunks, then a scan over the look-ahead-disabled chunks (incl.
+    the reflect-padded ragged tail) — the reference per-chunk loop semantics
+    (validation_seq_infer.py:54-89) with a single device->host copy at the
+    end instead of one per chunk.
+
+    Returns (T, H, W, out_ch) clipped to [0, 1].
+    """
+    t = x.shape[1]
+    num_seg, rem = divmod(t, psz)
+    # segments that keep look-ahead: the reference disables it (stickily) at
+    # the first overrun, so exactly the first k = floor((t-future)/psz).
+    k = 0 if future == 0 else max(0, min(num_seg, (t - future) // psz))
+
+    carries = _zero_carries(params, x[:, :psz + future], cfg, future)
+
+    def body_look(carries, i):
+        chunk = jax.lax.dynamic_slice_in_dim(x, i * psz, psz + future, axis=1)
+        out, carries = wnet_apply_chunk(params, chunk, cfg, carries,
+                                        future_buffer_len=future)
+        return carries, jnp.clip(out[0, :psz], 0., 1.)
+
+    outs = []
+    if k > 0:
+        carries, outs_a = jax.lax.scan(body_look, carries, jnp.arange(k))
+        outs.append(outs_a.reshape((k * psz,) + outs_a.shape[2:]))
+
+    n_plain = num_seg - k
+    if n_plain > 0 or rem > 0:
+        chunks_b = [x[:, k * psz:num_seg * psz].reshape(
+            (1, n_plain, psz) + x.shape[2:]).swapaxes(0, 1)] if n_plain else []
+        if rem > 0:
+            tail = jnp.concatenate(
+                [x[:, num_seg * psz:],
+                 jnp.flip(x[:, t - (psz - rem) - 1:t - 1], axis=1)], axis=1)
+            chunks_b.append(tail[None])
+        chunks_b = jnp.concatenate(chunks_b, axis=0)
+
+        def body_plain(carries, chunk):
+            out, carries = wnet_apply_chunk(params, chunk, cfg, carries,
+                                            future_buffer_len=0)
+            return carries, jnp.clip(out[0], 0., 1.)
+
+        _, outs_b = jax.lax.scan(body_plain, carries, chunks_b)
+        if n_plain > 0:
+            outs.append(outs_b[:n_plain].reshape(
+                (n_plain * psz,) + outs_b.shape[2:]))
+        if rem > 0:
+            outs.append(outs_b[-1, :rem])
+    return jnp.concatenate(outs, axis=0)
+
+
 def _with_noise_map(seq_thwc, noise_sigma, cfg):
     """Append a constant noise-map channel unless the net is blind."""
     if cfg.blind or noise_sigma is None:
@@ -44,7 +107,7 @@ def _with_noise_map(seq_thwc, noise_sigma, cfg):
 
 def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
                 future_buffer_len=0, mode='mimo', compute_dtype=None,
-                mesh=None):
+                mesh=None, host_chunks=False):
     """Denoise a frame sequence.
 
     Args:
@@ -59,6 +122,9 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
         mesh: optional jax Mesh; when its 'spatial' axis is >1, the frame
             height is sharded across it for multi-chip inference (GSPMD
             partitions the convs with automatic halo exchange over ICI).
+        host_chunks: run the chunked protocol as a host-side per-chunk loop
+            (one device sync per chunk) instead of the default single device
+            program; kept as the equivalence oracle for the scan path.
     Returns:
         (T, out_ch, H, W) numpy float32 clamped to [0, 1].
     """
@@ -84,6 +150,10 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
     future = int(future_buffer_len)
     num_seg = t // psz
     rem = t % psz
+
+    if not host_chunks:
+        den = _chunked_mimo_device(params, x, cfg, psz, future)
+        return np.transpose(np.asarray(den, np.float32), (0, 3, 1, 2))
 
     den = np.empty((t,) + tuple(x.shape[2:4]) + (cfg.out_ch,), np.float32)
     carries = None

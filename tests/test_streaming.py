@@ -105,3 +105,27 @@ def test_stream_denoiser_causal_zero_latency():
         np.testing.assert_allclose(np.asarray(out), mimo[:, i],
                                    rtol=2e-5, atol=2e-5)
     assert sd.flush() == []
+
+
+# ---------------------------------------------------------------------------
+# device-scan chunked MIMO == host-loop chunked MIMO (reference protocol)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('t,psz,future', [
+    (10, 4, 0),    # ragged tail, no look-ahead
+    (12, 4, 0),    # exact multiple
+    (10, 4, 2),    # look-ahead with sticky disable near the end
+    (11, 3, 2),    # look-ahead + ragged tail
+    (9, 4, 6),     # look-ahead longer than any full chunk (k == 0)
+])
+def test_chunked_device_scan_matches_host_loop(t, psz, future):
+    from bsvd_tpu.models.seq_inference import denoise_seq
+    cfg = _cfg(norm='none')
+    params = wnet_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(7)
+    seq = rng.uniform(0, 1, (t, 3, 16, 16)).astype(np.float32)
+    host = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
+                       future_buffer_len=future, host_chunks=True)
+    dev = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
+                      future_buffer_len=future)
+    np.testing.assert_allclose(dev, host, atol=2e-6)
