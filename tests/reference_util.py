@@ -6,12 +6,15 @@ The reference imports torchvision and a generated basicsr.version module;
 neither exists here, so minimal stubs are installed first.
 """
 
+import os
 import sys
 import types
 
 import pytest
 
-REFERENCE_ROOT = '/root/reference'
+# Overridable so CI can prove the golden-fixture path works without the
+# reference tree (point it at a non-existent dir).
+REFERENCE_ROOT = os.environ.get('BSVD_TPU_REFERENCE_ROOT', '/root/reference')
 
 
 def _stub(name, **attrs):

@@ -1,12 +1,20 @@
 """Numerical parity of the bsvd_tpu WNet/TSN against the reference torch
-implementation on CPU with shared random weights (fp32).
+implementation (fp32), anchored by committed golden fixtures.
+
+Weights and inputs are deterministic (jax PRNG / numpy seeds) on both sides;
+the reference-side outputs are pinned in tests/fixtures/*.npz (see
+tests/golden_util.py), so these tests run — and keep pinning parity — even
+when /root/reference is absent. With fixtures deleted (or
+BSVD_TPU_REGEN_GOLDEN=1) they regenerate against the live reference.
 
 Reference semantics covered:
 - temporal shift op (train-mode shift, eval-mode batch_shift, causal variant)
   vs Experimental_root/archs/temporal_shift_ops/temporal_shift.py:27-80
 - pixel shuffle vs torch.nn.PixelShuffle
-- full TSN forward (bidirectional + causal + blind + 1-stage) vs tsm_arch.py
+- full TSN forward (bidirectional + causal + blind + 1-stage + shift_input)
+  vs tsm_arch.py
 - chunked MIMO carry vs the reference global-queue batch_shift
+- torch-saved checkpoint file -> load_params -> forward
 """
 
 import numpy as np
@@ -21,6 +29,7 @@ from bsvd_tpu.convert.torch_ckpt import (convert_tsn_state_dict,
 from bsvd_tpu.nn.shift import temporal_shift, temporal_shift_chunk
 from bsvd_tpu.nn.layers import pixel_shuffle
 
+from golden_util import golden
 from reference_util import SMALL_NET2D_OPT, load_reference
 
 torch = pytest.importorskip('torch')
@@ -34,64 +43,27 @@ def from_nthwc(y):
     return np.transpose(np.asarray(y), (0, 1, 4, 2, 3))
 
 
-@pytest.mark.parametrize('shift_type', ['TSM', 'TSM_toFutureOnly'])
-def test_shift_train_mode_parity(shift_type):
+def _det_state(cfg, seed):
+    """Deterministic weights as a torch-layout state dict, via the key-map
+    converter (numpy values)."""
+    params = wnet_init(jax.random.PRNGKey(seed), cfg)
+    return params_to_tsn_state_dict(params, cfg)
+
+
+def _params_from_state(state, cfg):
+    """Torch-layout state -> params: keeps convert_tsn_state_dict in-path
+    for every fixture test (no torch/reference needed)."""
+    return jax.tree.map(jnp.asarray, convert_tsn_state_dict(state, cfg))
+
+
+def _load_ref_tsn(state, opt, shift_type='TSM', num_segments=5):
     ref = load_reference()
-    rng = np.random.default_rng(0)
-    n_batch, n_seg, c, h, w = 2, 5, 16, 8, 8
-    x = rng.standard_normal((n_batch * n_seg, c, h, w)).astype(np.float32)
-
-    ref_out = ref.temporal_shift.shift(torch.from_numpy(x), n_seg, shift_type,
-                                       fold_div=8).numpy()
-
-    x5 = x.reshape(n_batch, n_seg, c, h, w)
-    mine = temporal_shift(to_nthwc(x5), fold_div=8, shift_type=shift_type)
-    np.testing.assert_allclose(from_nthwc(mine).reshape(ref_out.shape), ref_out,
-                               rtol=0, atol=0)
-
-
-@pytest.mark.parametrize('shift_type', ['TSM', 'TSM_toFutureOnly'])
-def test_shift_chunked_parity_vs_global_queue(shift_type):
-    """Chunked carry == reference batch_shift + global queue across 3 chunks."""
-    ref = load_reference()
-    gq = ref.global_queue_buffer
-    rng = np.random.default_rng(1)
-    c, h, w = 16, 6, 6
-    t_chunk, future = 4, 2
-    chunks = [rng.standard_normal((t_chunk + future, c, h, w)).astype(np.float32)
-              for _ in range(3)]
-
-    gq._init(future)
-    ref_outs = []
-    for i, ch in enumerate(chunks):
-        gq.set_batch_index(i)
-        ref_outs.append(ref.temporal_shift.batch_shift(
-            torch.from_numpy(ch), shift_type, fold_div=8).numpy())
-
-    carry = None
-    for i, ch in enumerate(chunks):
-        x = to_nthwc(ch[None])
-        mine, carry = temporal_shift_chunk(x, carry, fold_div=8,
-                                           shift_type=shift_type,
-                                           future_buffer_len=future)
-        np.testing.assert_allclose(from_nthwc(mine)[0], ref_outs[i],
-                                   rtol=0, atol=0, err_msg=f'chunk {i}')
-
-
-def test_pixel_shuffle_parity():
-    rng = np.random.default_rng(2)
-    x = rng.standard_normal((2, 12, 5, 7)).astype(np.float32)
-    ref_out = torch.nn.PixelShuffle(2)(torch.from_numpy(x)).numpy()
-    mine = pixel_shuffle(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), 2)
-    np.testing.assert_allclose(np.transpose(np.asarray(mine), (0, 3, 1, 2)),
-                               ref_out, rtol=0, atol=0)
-
-
-def _make_ref_tsn(ref, net2d_opt, shift_type='TSM', num_segments=5):
     tsn = ref.tsm_arch.TSN(num_segments=num_segments,
                            base_model='WNet_multistage',
                            shift_type=shift_type, shift_div=8,
-                           net2d_opt=net2d_opt)
+                           net2d_opt=opt)
+    tsn.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                         for k, v in state.items()})
     tsn.train()  # train mode => per-segment shift(), no global queue
     return tsn
 
@@ -106,9 +78,68 @@ def _cfg_from_opt(net2d_opt, shift_mode='TSM'):
         shift_input=net2d_opt.get('shift_input', False), shift_mode=shift_mode)
 
 
+@pytest.mark.parametrize('shift_type', ['TSM', 'TSM_toFutureOnly'])
+def test_shift_train_mode_parity(shift_type):
+    rng = np.random.default_rng(0)
+    n_batch, n_seg, c, h, w = 2, 5, 16, 8, 8
+    x = rng.standard_normal((n_batch * n_seg, c, h, w)).astype(np.float32)
+
+    def generate():
+        ref = load_reference()
+        out = ref.temporal_shift.shift(torch.from_numpy(x), n_seg, shift_type,
+                                       fold_div=8).numpy()
+        return {'ref_out': out}
+
+    ref_out = golden(f'shift_train_{shift_type}', generate)['ref_out']
+    x5 = x.reshape(n_batch, n_seg, c, h, w)
+    mine = temporal_shift(to_nthwc(x5), fold_div=8, shift_type=shift_type)
+    np.testing.assert_allclose(from_nthwc(mine).reshape(ref_out.shape), ref_out,
+                               rtol=0, atol=0)
+
+
+@pytest.mark.parametrize('shift_type', ['TSM', 'TSM_toFutureOnly'])
+def test_shift_chunked_parity_vs_global_queue(shift_type):
+    """Chunked carry == reference batch_shift + global queue across 3 chunks."""
+    rng = np.random.default_rng(1)
+    c, h, w = 16, 6, 6
+    t_chunk, future = 4, 2
+    chunks = [rng.standard_normal((t_chunk + future, c, h, w)).astype(np.float32)
+              for _ in range(3)]
+
+    def generate():
+        ref = load_reference()
+        gq = ref.global_queue_buffer
+        gq._init(future)
+        outs = {}
+        for i, ch in enumerate(chunks):
+            gq.set_batch_index(i)
+            outs[f'ref_out_{i}'] = ref.temporal_shift.batch_shift(
+                torch.from_numpy(ch), shift_type, fold_div=8).numpy()
+        return outs
+
+    ref_outs = golden(f'shift_chunked_{shift_type}', generate)
+
+    carry = None
+    for i, ch in enumerate(chunks):
+        x = to_nthwc(ch[None])
+        mine, carry = temporal_shift_chunk(x, carry, fold_div=8,
+                                           shift_type=shift_type,
+                                           future_buffer_len=future)
+        np.testing.assert_allclose(from_nthwc(mine)[0], ref_outs[f'ref_out_{i}'],
+                                   rtol=0, atol=0, err_msg=f'chunk {i}')
+
+
+def test_pixel_shuffle_parity():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 12, 5, 7)).astype(np.float32)
+    ref_out = torch.nn.PixelShuffle(2)(torch.from_numpy(x)).numpy()
+    mine = pixel_shuffle(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), 2)
+    np.testing.assert_allclose(np.transpose(np.asarray(mine), (0, 3, 1, 2)),
+                               ref_out, rtol=0, atol=0)
+
+
 @pytest.mark.parametrize('variant', ['bidir', 'causal', 'blind', 'stage1', 'shift_input'])
 def test_tsn_forward_parity(variant):
-    ref = load_reference()
     opt = dict(SMALL_NET2D_OPT)
     shift_type = 'TSM'
     if variant == 'causal':
@@ -121,22 +152,19 @@ def test_tsn_forward_parity(variant):
         opt['shift_input'] = True
 
     num_seg, n, h, w = 5, 2, 16, 16
-    tsn = _make_ref_tsn(ref, opt, shift_type, num_seg)
     cfg = _cfg_from_opt(opt, shift_mode=shift_type)
-
-    state = {k: v.detach().numpy() for k, v in tsn.state_dict().items()}
-    # reference state dict from TSN itself has no 'base_model.' stripped
-    params = convert_tsn_state_dict(state, cfg)
-    params = jax.tree.map(jnp.asarray, params)
-
+    state = _det_state(cfg, seed=10)
     cin = 3 if opt.get('blind') else 4
     rng = np.random.default_rng(3)
     x = rng.standard_normal((n, num_seg, cin, h, w)).astype(np.float32)
 
-    with torch.no_grad():
-        ref_out = tsn(torch.from_numpy(x)).numpy()
+    def generate():
+        tsn = _load_ref_tsn(state, opt, shift_type, num_seg)
+        with torch.no_grad():
+            return {'ref_out': tsn(torch.from_numpy(x)).numpy()}
 
-    mine = wnet_apply(params, to_nthwc(x), cfg)
+    ref_out = golden(f'tsn_forward_{variant}', generate)['ref_out']
+    mine = wnet_apply(_params_from_state(state, cfg), to_nthwc(x), cfg)
     np.testing.assert_allclose(from_nthwc(mine), ref_out, rtol=1e-4, atol=1e-4)
 
 
@@ -144,32 +172,36 @@ def test_tsn_chunked_eval_parity():
     """Eval-mode TSN (batch_shift + global queue over chunks) == my chunked
     MIMO with explicit carries — the reference's training-time validation
     algorithm (validation_seq_infer.py:33-89)."""
-    ref = load_reference()
     opt = dict(SMALL_NET2D_OPT)
-    tsn = _make_ref_tsn(ref, opt, 'TSM', num_segments=4)
     cfg = _cfg_from_opt(opt)
-    state = {k: v.detach().numpy() for k, v in tsn.state_dict().items()}
-    params = jax.tree.map(jnp.asarray, convert_tsn_state_dict(state, cfg))
+    state = _det_state(cfg, seed=11)
 
     rng = np.random.default_rng(4)
     t_chunk, future, h, w = 4, 2, 16, 16
     chunks = [rng.standard_normal((1, t_chunk + future, 4, h, w)).astype(np.float32)
               for _ in range(3)]
 
-    tsn.eval()
-    gq = ref.global_queue_buffer
-    gq._init(future)
-    ref_outs = []
-    with torch.no_grad():
-        for i, ch in enumerate(chunks):
-            gq.set_batch_index(i)
-            ref_outs.append(tsn(torch.from_numpy(ch)).numpy())
+    def generate():
+        ref = load_reference()
+        tsn = _load_ref_tsn(state, opt, 'TSM', num_segments=4)
+        tsn.eval()
+        gq = ref.global_queue_buffer
+        gq._init(future)
+        outs = {}
+        with torch.no_grad():
+            for i, ch in enumerate(chunks):
+                gq.set_batch_index(i)
+                outs[f'ref_out_{i}'] = tsn(torch.from_numpy(ch)).numpy()
+        return outs
 
+    ref_outs = golden('tsn_chunked_eval', generate)
+
+    params = _params_from_state(state, cfg)
     carries = None
     for i, ch in enumerate(chunks):
         mine, carries = wnet_apply_chunk(params, to_nthwc(ch), cfg, carries,
                                          future_buffer_len=future)
-        np.testing.assert_allclose(from_nthwc(mine), ref_outs[i],
+        np.testing.assert_allclose(from_nthwc(mine), ref_outs[f'ref_out_{i}'],
                                    rtol=1e-4, atol=1e-4, err_msg=f'chunk {i}')
 
 
@@ -190,19 +222,97 @@ def test_roundtrip_state_dict():
 def test_ref_checkpoint_file_conversion(tmp_path):
     """A torch-saved {'params': sd} checkpoint loads and reproduces the
     reference forward (the real bsvd-64.pth pipeline, bsvd_arch.py:462-474)."""
-    ref = load_reference()
     opt = dict(SMALL_NET2D_OPT)
-    tsn = _make_ref_tsn(ref, opt, 'TSM', num_segments=4)
-    path = tmp_path / 'net_g.pth'
-    torch.save({'params': tsn.state_dict()}, path)
-
-    from bsvd_tpu.convert.torch_ckpt import load_params
     cfg = _cfg_from_opt(opt)
-    params = load_params(path, cfg)
-
+    state = _det_state(cfg, seed=12)
     rng = np.random.default_rng(5)
     x = rng.standard_normal((1, 4, 4, 16, 16)).astype(np.float32)
-    with torch.no_grad():
-        ref_out = tsn(torch.from_numpy(x)).numpy()
+
+    def generate():
+        tsn = _load_ref_tsn(state, opt, 'TSM', num_segments=4)
+        with torch.no_grad():
+            return {'ref_out': tsn(torch.from_numpy(x)).numpy()}
+
+    ref_out = golden('ckpt_file_conversion', generate)['ref_out']
+
+    path = tmp_path / 'net_g.pth'
+    torch.save({'params': {k: torch.from_numpy(np.asarray(v))
+                           for k, v in state.items()}}, path)
+    from bsvd_tpu.convert.torch_ckpt import load_params
+    params = load_params(path, cfg)
     mine = wnet_apply(params, to_nthwc(x), cfg)
     np.testing.assert_allclose(from_nthwc(mine), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_synthetic_clip_denoise_psnr_anchor():
+    """Fixed-seed synthetic-clip denoise: the full denoise_seq pipeline
+    (noise map concat, whole-clip forward, [0,1] clip) reproduces the
+    reference net's output and PSNR — the golden-number analogue of the
+    reference's reproduce-the-published-PSNR protocol (README.md:65-71)."""
+    from bsvd_tpu.models.seq_inference import denoise_seq
+    opt = dict(SMALL_NET2D_OPT)
+    cfg = _cfg_from_opt(opt)
+    state = _det_state(cfg, seed=13)
+    rng = np.random.default_rng(6)
+    t, h, w = 8, 32, 32
+    clean = rng.uniform(0, 1, (1, t, 3, h, w)).astype(np.float32)
+    sigma = 25 / 255.0
+    noisy = (clean + sigma * rng.standard_normal(clean.shape)
+             ).astype(np.float32)
+
+    def generate():
+        tsn = _load_ref_tsn(state, opt, 'TSM', num_segments=t)
+        nm = np.full((1, t, 1, h, w), sigma, np.float32)
+        x = np.concatenate([noisy, nm], axis=2)
+        with torch.no_grad():
+            den = np.clip(tsn(torch.from_numpy(x)).numpy(), 0., 1.)
+        mse = float(np.mean((den - clean) ** 2))
+        return {'ref_den': den,
+                'ref_psnr': np.float64(10 * np.log10(1.0 / mse))}
+
+    g = golden('synthetic_clip_psnr', generate)
+
+    params = _params_from_state(state, cfg)
+    out = denoise_seq(params, cfg, noisy[0], noise_sigma=sigma, temp_psz=-1)
+    mse = float(np.mean((out[None] - clean) ** 2))
+    psnr = 10 * np.log10(1.0 / mse)
+    np.testing.assert_allclose(out, g['ref_den'][0], rtol=1e-4, atol=1e-4)
+    assert abs(psnr - float(g['ref_psnr'])) < 1e-3, (psnr, g['ref_psnr'])
+
+
+def test_ema_eval_branch_deviation():
+    """Pin the documented EMA-eval deviation (PARITY.md 'Known gaps'):
+    the reference ``test()`` with an EMA net runs the RAW whole-clip forward
+    — no padding, no temp_psz chunking, no [0,1] clamp (reference
+    denoising_model.py:171-178) — while this repo runs the same denoise_seq
+    protocol for EMA and non-EMA. On clips with H,W multiples of 4 and
+    temp_psz=-1 the two differ ONLY by the output clamp; asserted here."""
+    from bsvd_tpu.models.seq_inference import denoise_seq
+    opt = dict(SMALL_NET2D_OPT)
+    cfg = _cfg_from_opt(opt)
+    state = _det_state(cfg, seed=14)           # stands in for EMA weights
+    rng = np.random.default_rng(7)
+    t, h, w = 6, 16, 16
+    lq = rng.uniform(0, 1, (1, t, 3, h, w)).astype(np.float32)
+    sigma = 30 / 255.0
+
+    def generate():
+        ref = load_reference()
+        tsn = _load_ref_tsn(state, opt, 'TSM', num_segments=t)
+        tsn.eval()   # eval mode routes through batch_shift + global queue
+        ref.global_queue_buffer._init(0)
+        ref.global_queue_buffer.set_batch_index(0)
+        nm = np.full((1, t, 1, h, w), sigma, np.float32)
+        with torch.no_grad():   # reference EMA branch: raw forward, no clamp
+            return {'ref_out': tsn(torch.from_numpy(
+                np.concatenate([lq, nm], axis=2))).numpy()}
+
+    ref_out = golden('ema_eval_branch', generate)['ref_out']
+    # with random weights the raw EMA output leaves [0,1] — the clamp is a
+    # real behavioral difference, not a no-op
+    assert (ref_out < 0).any() or (ref_out > 1).any()
+
+    params = _params_from_state(state, cfg)
+    mine = denoise_seq(params, cfg, lq[0], noise_sigma=sigma, temp_psz=-1)
+    np.testing.assert_allclose(mine, np.clip(ref_out[0], 0., 1.),
+                               rtol=1e-4, atol=1e-4)
