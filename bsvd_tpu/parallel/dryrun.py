@@ -1,0 +1,60 @@
+"""Sharded-train-step dry run, shared by the driver entry
+(__graft_entry__.dryrun_multichip) and the multi-host bring-up test.
+
+Jits the FULL training step (fwd+loss+grad+adam+EMA) of the flagship
+BSVD-c64 config over a ('data','spatial') mesh and runs one step on tiny
+shapes. The batch is generated INSIDE jit with explicit out_shardings, so
+the same code works on a single-process virtual mesh and on a multi-process
+(DCN-spanning) global mesh, where host-side global arrays would need
+per-process assembly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_sharded_train_step(mesh, seed=0):
+    """One sharded train step over ``mesh``; returns the scalar pixel loss."""
+    import optax
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_init
+    from bsvd_tpu.models.denoising_model import make_train_step
+    from bsvd_tpu.models.lr_scheduler import multi_step_restart_lr
+    from bsvd_tpu.losses import MSELoss
+    from bsvd_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    cfg = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
+                     norm='none', act='relu6', shift_mode='TSM')
+    params = wnet_init(jax.random.PRNGKey(seed), cfg)
+    schedule = multi_step_restart_lr(1e-3, [50_000], 0.7)
+    tx = optax.adam(schedule, b1=0.9, b2=0.99)
+    opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.array, params)
+
+    step = make_train_step(cfg, tx, MSELoss())
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh, 5, batch_axis=0, spatial_axis=2)
+    jstep = jax.jit(step,
+                    in_shardings=(repl, repl, repl,
+                                  {'lq': bsh, 'gt': bsh}, None, None),
+                    out_shardings=(repl, repl, repl, repl))
+
+    n, t, h, w = mesh.shape['data'], 3, 16 * mesh.shape['spatial'], 16
+
+    @jax.jit
+    def make_batch(key):
+        k1, k2 = jax.random.split(key)
+        batch = {
+            'lq': jax.random.normal(k1, (n, t, h, w, 4), jnp.float32),
+            'gt': jax.random.normal(k2, (n, t, h, w, 3), jnp.float32),
+        }
+        return jax.lax.with_sharding_constraint(batch,
+                                                {'lq': bsh, 'gt': bsh})
+
+    batch = make_batch(jax.random.PRNGKey(seed + 1))
+    params, opt_state, ema, loss_dict = jstep(params, opt_state, ema, batch,
+                                              0, 0.999)
+    jax.block_until_ready(loss_dict)
+    loss = float(loss_dict['l_pix'])
+    assert np.isfinite(loss)
+    return loss

@@ -12,9 +12,72 @@ parallelism). Params are replicated: the WNet is ~20 MB, far below the
 threshold where tensor/FSDP sharding pays.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_dist_initialized = False
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None, port=None):
+    """Multi-host (DCN-spanning) bring-up: ``jax.distributed.initialize``
+    from explicit args or the environment — the launcher analogue of the
+    reference's slurm/env dist init (BasicSR/basicsr/utils/dist_util.py:30-57,
+    which resolves MASTER_ADDR/RANK/WORLD_SIZE from SLURM vars).
+
+    Resolution order:
+      1. explicit args;
+      2. ``BSVD_COORDINATOR`` / ``BSVD_NUM_PROCESSES`` / ``BSVD_PROCESS_ID``;
+      3. SLURM (`SLURM_PROCID`/`SLURM_NTASKS`/`SLURM_STEP_NODELIST`, first
+         host + ``port`` or ``BSVD_PORT`` or 12321 as the coordinator);
+      4. on a Cloud-TPU pod, bare ``jax.distributed.initialize()``
+         auto-detects everything.
+
+    After this returns, ``jax.devices()`` is the GLOBAL device list and
+    ``make_mesh`` builds DCN-spanning meshes transparently. No-op (returns
+    (0, 1)) when no multi-process environment is found. Idempotent.
+
+    Returns:
+        (process_index, process_count)
+    """
+    global _dist_initialized
+    if _dist_initialized:
+        return jax.process_index(), jax.process_count()
+
+    env = os.environ
+    if coordinator_address is None and 'BSVD_COORDINATOR' in env:
+        coordinator_address = env['BSVD_COORDINATOR']
+        num_processes = int(env.get('BSVD_NUM_PROCESSES', num_processes or 1))
+        process_id = int(env.get('BSVD_PROCESS_ID', process_id or 0))
+    if coordinator_address is None and 'SLURM_PROCID' in env:
+        process_id = int(env['SLURM_PROCID'])
+        num_processes = int(env['SLURM_NTASKS'])
+        nodelist = env.get('SLURM_STEP_NODELIST', env.get('SLURM_NODELIST', ''))
+        import subprocess
+        head = subprocess.getoutput(
+            f'scontrol show hostname {nodelist} | head -n1').strip()
+        if head:
+            p = port or env.get('BSVD_PORT', 12321)
+            coordinator_address = f'{head}:{p}'
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=int(num_processes),
+            process_id=int(process_id),
+            local_device_ids=local_device_ids)
+        _dist_initialized = True
+        return jax.process_index(), jax.process_count()
+
+    if env.get('TPU_WORKER_HOSTNAMES') or env.get('MEGASCALE_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()   # TPU-pod auto-detection
+        _dist_initialized = True
+        return jax.process_index(), jax.process_count()
+
+    return 0, 1
 
 
 def make_mesh(num_devices=None, spatial=1, devices=None, strict=True):

@@ -65,6 +65,10 @@ def load_resume_state(opt):
 
 
 def train_pipeline(root_path, cmd=None, opt_path=None):
+    # multi-host bring-up first (no-op single-process): after this,
+    # jax.devices() is global and the models' meshes span all hosts
+    from bsvd_tpu.parallel.mesh import init_distributed
+    init_distributed()
     opt, args = parse_options(root_path, is_train=True, cmd=cmd, opt_path=opt_path)
 
     resume_state = load_resume_state(opt)

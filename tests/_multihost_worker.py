@@ -1,0 +1,41 @@
+"""Worker process for the multi-host mesh bring-up test: joins a 2-process
+jax.distributed cluster (4 virtual CPU devices per process), builds the
+GLOBAL ('data','spatial') mesh spanning both processes, and runs one full
+sharded train step. Launched by tests/test_multihost.py.
+
+usage: python tests/_multihost_worker.py <process_id> <num_processes> <coord>
+"""
+
+import os
+import sys
+
+proc_id, nprocs, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
+         if 'xla_force_host_platform_device_count' not in f]
+flags.append('--xla_force_host_platform_device_count=4')
+os.environ['XLA_FLAGS'] = ' '.join(flags)
+# env-driven bring-up path (what a real launcher would set)
+os.environ['BSVD_COORDINATOR'] = coord
+os.environ['BSVD_NUM_PROCESSES'] = str(nprocs)
+os.environ['BSVD_PROCESS_ID'] = str(proc_id)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+from bsvd_tpu.parallel.mesh import init_distributed, make_mesh
+from bsvd_tpu.parallel.dryrun import run_sharded_train_step
+
+pid, pcount = init_distributed()
+assert pid == proc_id and pcount == nprocs, (pid, pcount)
+assert len(jax.devices()) == 4 * nprocs, jax.devices()
+assert len(jax.local_devices()) == 4
+
+mesh = make_mesh(spatial=2)
+loss = run_sharded_train_step(mesh)
+print(f'multihost worker {pid}/{pcount} ok: mesh={dict(mesh.shape)} '
+      f'l_pix={loss:.4f}', flush=True)

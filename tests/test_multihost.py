@@ -1,0 +1,46 @@
+"""Multi-host (DCN-spanning) mesh bring-up: 2 processes x 4 virtual CPU
+devices join one jax.distributed cluster and run the full sharded train
+step over the 8-device global mesh (reference counterpart: the slurm/env
+multi-node launcher, BasicSR/basicsr/utils/dist_util.py:30-57)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, 'tests', '_multihost_worker.py')
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_mesh_train_step():
+    coord = f'127.0.0.1:{_free_port()}'
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith('BSVD_') and k != 'XLA_FLAGS'}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), '2', coord], cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {i} failed:\n{out}'
+        assert f'multihost worker {i}/2 ok' in out, out
+        assert "mesh={'data': 4, 'spatial': 2}" in out, out
