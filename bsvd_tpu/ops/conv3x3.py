@@ -168,6 +168,81 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
     o_ref[...] = a.astype(o_ref.dtype)[None]
 
 
+def _kernel_nt1(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, bh, h, w, c,
+                cout, act):
+    """Single-frame (NT=1) variant: the ROW-BLOCK axis carries the software
+    pipeline. grid=(nhb,); a 2-slot VMEM ring double-buffers row-block tiles
+    so block hb+1's DMA overlaps block hb's 9 MXU dots (the frame-minor
+    kernel serializes its DMA prologue at NT=1 — measured regression, see
+    PERF.md)."""
+    hb = pl.program_id(0)
+    nhb = pl.num_programs(0)
+    wp = w + 2 * _COL0
+
+    def block_dmas(blk, slot):
+        """Clamped copies for row-block ``blk``: main rows + 1-row halos."""
+        row0 = blk * bh
+        src = x_hbm.at[0]
+        dst = ring.at[slot]
+        return (
+            pltpu.make_async_copy(
+                src.at[pl.ds(row0, bh), :, :],
+                dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
+                dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
+                dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
+                sems.at[slot, 2]),
+        )
+
+    def start(blk):
+        for d in block_dmas(blk, blk % 2):
+            d.start()
+
+    @pl.when(hb == 0)
+    def _():
+        start(0)
+
+    @pl.when(hb + 1 < nhb)
+    def _():
+        start(hb + 1)
+
+    slot = hb % 2
+    for d in block_dmas(hb, slot):
+        d.wait()
+    # zero the rows the clamped halo DMAs filled with in-image garbage
+    @pl.when(hb == 0)
+    def _():
+        ring[slot, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
+
+    @pl.when(hb == nhb - 1)
+    def _():
+        ring[slot, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
+    ring[slot, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c), ring.dtype)
+    ring[slot, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
+                                                       ring.dtype)
+
+    tile = ring[slot]
+    a = jnp.zeros((bh, w, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = tile[ky:ky + bh, _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
+            a = a + lax.dot_general(
+                patch, w_ref[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    a = a + b_ref[...].astype(jnp.float32)
+    if act == 'relu':
+        a = jnp.maximum(a, 0)
+    elif act == 'relu6':
+        a = jnp.clip(a, 0, 6)
+    o_ref[...] = a.astype(o_ref.dtype)[None]
+
+
 def fold_width_weights(w, b):
     """Width-fold a stride-1 3x3 conv's weights: (3, 3, C, Cout) ->
     (3, 3, 2C, 2Cout) operating on the (H, W/2, 2C) view of the input (a
@@ -244,6 +319,34 @@ def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
     nring = _ring_size(shift)
+
+    if nt == 1 and shift == 'none':
+        # single frame: pipeline over row blocks instead (see _kernel_nt1)
+        kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c,
+                                 cout=cout, act=act)
+        return pl.pallas_call(
+            kern,
+            grid=(nhb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bh, w_, cout),
+                                   lambda hb: (0, hb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, h, w_, cout), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            cost_estimate=pl.CostEstimate(flops=2 * 9 * c * cout * h * w_,
+                                          bytes_accessed=x.size * 2 * 2,
+                                          transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            interpret=interpret,
+        )(x, w, b.reshape(1, cout))
 
     kern = functools.partial(
         _kernel, nt=nt, t_len=t_len if t_len else nt, bh=bh, h=h, w=w_, c=c,

@@ -143,3 +143,28 @@ def test_plain_direct_backward_matches_composite_vjp():
     for a, r, name in zip(got, ref, ('dx', 'dw', 'db')):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
                                    atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize('act', ['relu6', 'none'])
+def test_nt1_rowblock_kernel_interpret_matches_xla(act):
+    """NT=1 routes through the row-block-pipelined kernel (_kernel_nt1):
+    same semantics as the frame-minor kernel, pipeline over row blocks."""
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+    x, w, b = _data(1, 12, 16, 16, 32, jnp.float32, seed=7)
+    ref = _conv3x3_xla(x, w, b, act)
+    for bh in (3, 4, 6, 12):
+        got = conv3x3_pallas(x, w, b, shift='none', act=act, bh=bh,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_nt1_rowblock_kernel_width_folded_c64():
+    """NT=1 + C=64 composes the width fold with the row-block pipeline."""
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+    x, w, b = _data(1, 8, 16, 64, 32, jnp.float32, seed=8)
+    ref = _conv3x3_xla(x, w, b, 'relu6')
+    got = conv3x3_pallas(x, w, b, shift='none', act='relu6', bh=4,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
