@@ -374,3 +374,93 @@ def test_trained_net_denoises(train_data, tmp_path):
     denoised_psnr = eval_psnr()
     assert denoised_psnr > init_psnr + 11.0, (init_psnr, denoised_psnr)
     assert denoised_psnr > 17.0, (init_psnr, denoised_psnr)
+
+
+def test_bn_train_mode_parity_vs_torch(tmp_path):
+    """Train-mode BatchNorm parity over several optimizer steps: batch-stat
+    normalization in the forward/backward, momentum running-stat updates
+    (unbiased var), and the post-training eval forward all match torch BN
+    (reference default norm: wnet_models.py CvBlock 'bn'). SGD keeps the
+    optimizer exactly comparable. Golden-fixture-backed (tests/golden_util)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from golden_util import golden
+    from reference_util import SMALL_NET2D_OPT, load_reference
+    torch = pytest.importorskip('torch')
+    import jax, jax.numpy as jnp
+    import optax
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_apply, wnet_init
+    from bsvd_tpu.convert.torch_ckpt import (convert_tsn_state_dict,
+                                             params_to_tsn_state_dict)
+    from bsvd_tpu.losses import MSELoss
+    from bsvd_tpu.models.denoising_model import make_train_step
+
+    opt = dict(SMALL_NET2D_OPT, norm='bn', act='relu')
+    cfg = WNetConfig(chns=tuple(opt['chns']), mid_ch=opt['mid_ch'], in_ch=4,
+                     out_ch=3, stage_num=2, interm_ch=opt['interm_ch'],
+                     norm='bn', act='relu', shift_mode='TSM')
+    params0 = wnet_init(jax.random.PRNGKey(21), cfg)
+    state0 = params_to_tsn_state_dict(params0, cfg)
+
+    n, t, h, w = 2, 4, 16, 16
+    # lr small enough that fp32 summation-order noise (~5e-7/step) never
+    # crosses a ReLU/BN-rsqrt decision boundary: at lr=0.05 the frameworks'
+    # bitwise-different-but-equivalent updates amplify chaotically (x2000
+    # per step, measured); at 0.005 the 3-step drift stays at fp noise.
+    lr, steps = 0.005, 3
+    rng = np.random.default_rng(22)
+    lqs = rng.standard_normal((steps, n, t, 4, h, w)).astype(np.float32)
+    gts = rng.standard_normal((steps, n, t, 3, h, w)).astype(np.float32)
+    x_eval = rng.standard_normal((1, t, 4, h, w)).astype(np.float32)
+
+    def generate():
+        ref = load_reference()
+        tsn = ref.tsm_arch.TSN(num_segments=t, base_model='WNet_multistage',
+                               shift_type='TSM', shift_div=8, net2d_opt=opt)
+        tsn.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                             for k, v in state0.items()}, strict=False)
+        tsn.train()
+        # hand-rolled SGD (torch.optim pulls in torch._dynamo, which fails
+        # to import in this environment); identical math to optax.sgd(lr)
+        for i in range(steps):
+            tsn.zero_grad()
+            out = tsn(torch.from_numpy(lqs[i]))
+            loss = torch.mean((out - torch.from_numpy(gts[i])) ** 2)
+            loss.backward()
+            with torch.no_grad():
+                for p in tsn.parameters():
+                    if p.grad is not None:
+                        p -= lr * p.grad
+        bn = tsn.base_model.nets_list[0].inc.convblock[1]
+        assert isinstance(bn, torch.nn.BatchNorm2d)
+        tsn.eval()
+        gq = ref.global_queue_buffer
+        gq._init(0)
+        gq.set_batch_index(0)
+        with torch.no_grad():
+            ref_eval = tsn(torch.from_numpy(x_eval)).numpy()
+        return {'ref_mean': bn.running_mean.detach().numpy(),
+                'ref_var': bn.running_var.detach().numpy(),
+                'ref_eval': ref_eval}
+
+    g = golden('bn_train_parity', generate)
+
+    params = jax.tree.map(jnp.asarray, convert_tsn_state_dict(state0, cfg))
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, MSELoss(), params_template=params)
+    jstep = jax.jit(step)
+    to_nthwc = lambda v: jnp.asarray(np.transpose(v, (0, 1, 3, 4, 2)))  # noqa: E731
+    for i in range(steps):
+        batch = {'lq': to_nthwc(lqs[i]), 'gt': to_nthwc(gts[i])}
+        params, opt_state, _, loss_dict = jstep(params, opt_state, None,
+                                                batch, i, 0.999)
+        assert np.isfinite(float(loss_dict['l_pix']))
+
+    got_bn = params['stage0']['inc']['n1']
+    np.testing.assert_allclose(np.asarray(got_bn['mean']), g['ref_mean'],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_bn['var']), g['ref_var'],
+                               rtol=1e-5, atol=1e-5)
+    mine = wnet_apply(params, to_nthwc(x_eval), cfg)
+    got = np.transpose(np.asarray(mine), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(got, g['ref_eval'], rtol=1e-4, atol=1e-4)
