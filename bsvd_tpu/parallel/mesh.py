@@ -73,9 +73,14 @@ def init_distributed(coordinator_address=None, num_processes=None,
         return jax.process_index(), jax.process_count()
 
     if env.get('TPU_WORKER_HOSTNAMES') or env.get('MEGASCALE_COORDINATOR_ADDRESS'):
-        jax.distributed.initialize()   # TPU-pod auto-detection
-        _dist_initialized = True
-        return jax.process_index(), jax.process_count()
+        try:
+            jax.distributed.initialize()   # TPU-pod auto-detection
+            _dist_initialized = True
+            return jax.process_index(), jax.process_count()
+        except RuntimeError:
+            # backend already initialised (e.g. single-host tunnel setups
+            # that export TPU_* vars) — single-process it is
+            pass
 
     return 0, 1
 

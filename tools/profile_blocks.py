@@ -129,6 +129,70 @@ def main():
     print(f'--- sum of blocks x2 stages    : {2*per_stage*1e3:8.2f} ms '
           f'(vs full {full_fused*1e3:.2f})')
 
+    # ---- the WIDTH-FOLDED stems as the MIMO path actually runs them ----
+    from bsvd_tpu.archs.wnet_arch import _stage_apply_folded, _fold2
+    from bsvd_tpu.nn.layers import get_act
+    from bsvd_tpu.ops.conv3x3 import (conv3x3_pallas, conv3x3_supported,
+                                      fold_width_weights,
+                                      fold_width_stride2_weights)
+    print('--- folded full-res segment (as run in MIMO) ---')
+    actf = get_act(cfg.act)
+    t_st = timeit(lambda p, v: _stage_apply_folded(p, v, cfg, actf),
+                  s0, x.reshape(1, T, H, W, 4))
+    print(f'stage0 folded end-to-end       : {t_st*1e3:8.2f} ms')
+
+    xf8 = jnp.asarray(rng.uniform(0, 1, (T, H, W // 2, 8)), dt)
+    w1, b1 = fold_width_weights(s0['inc']['c1']['w'], s0['inc']['c1']['b'])
+
+    def site_xla(v, w_, b_, a=True):
+        y = jax.lax.conv_general_dilated(
+            v, w_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b_.astype(v.dtype)
+        return act(y) if a else y
+    t = timeit(site_xla, xf8, w1, b1)
+    print(f'inc c1 folded 8->128 xla       : {t*1e3:8.2f} ms')
+
+    xf = jnp.asarray(rng.uniform(0, 1, (T, H, W // 2, 128)), dt)
+    w2, b2 = fold_width_weights(s0['inc']['c2']['w'], s0['inc']['c2']['b'])
+    t_xla = timeit(site_xla, xf, w2, b2)
+    gff = 2 * 9 * 128 * 128 * H * (W // 2) * T / 1e9
+    msg = f'inc c2 folded 128->128 xla     : {t_xla*1e3:8.2f} ms ({gff/t_xla/1e3:5.1f} TF/s)'
+    if conv3x3_supported((T, H, W // 2, 128), w2.shape, dt):
+        t_pal = timeit(lambda v, a_, c_: conv3x3_pallas(v, a_, c_,
+                       shift='none', act='relu6'), xf, w2, b2)
+        msg += f' | pallas {t_pal*1e3:8.2f} ms ({gff/t_pal/1e3:5.1f} TF/s)'
+    print(msg)
+
+    wd, bd = fold_width_stride2_weights(s0['down0']['conv']['w'],
+                                        s0['down0']['conv']['b'])
+
+    def down_xla(v, w_, b_):
+        y = jax.lax.conv_general_dilated(
+            v, w_, (2, 1), ((1, 1), (1, 0)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b_.astype(v.dtype)
+        return act(y)
+    t = timeit(down_xla, xf, wd, bd)
+    print(f'down0 s2 folded 128->128 xla   : {t*1e3:8.2f} ms')
+
+    # down1 (natural 270p input): plain s2 vs width-folded s2
+    x1n = jnp.asarray(rng.uniform(0, 1, (T, H // 2, W // 2, 128)), dt)
+    t_n = timeit(lambda p, v: act(conv2d(p['down1']['conv'], v, stride=2)),
+                 s0, x1n)
+    wd1, bd1 = fold_width_stride2_weights(s0['down1']['conv']['w'],
+                                          s0['down1']['conv']['b'])
+    x1f = x1n.reshape(T, H // 2, W // 4, 256)
+    t_f = timeit(down_xla, x1f, wd1, bd1)
+    print(f'down1 s2 @270p: natural xla {t_n*1e3:7.2f} ms | folded xla {t_f*1e3:7.2f} ms')
+
+    wo2, bo2 = fold_width_weights(s0['outc']['c2']['w'], s0['outc']['c2']['b'])
+    t_xla = timeit(lambda v, a_, c_: site_xla(v, a_, c_, False), xf, wo2, bo2)
+    msg = f'outc c2 folded 128->128 xla    : {t_xla*1e3:8.2f} ms'
+    if conv3x3_supported((T, H, W // 2, 128), wo2.shape, dt):
+        t_pal = timeit(lambda v, a_, c_: conv3x3_pallas(v, a_, c_,
+                       shift='none', act='none'), xf, wo2, bo2)
+        msg += f' | pallas {t_pal*1e3:8.2f} ms'
+    print(msg)
+
 
 if __name__ == '__main__':
     main()

@@ -91,7 +91,8 @@ def main():
         wgt = jnp.asarray(rng.standard_normal((3, 3, c, cout)) * 0.05, dt)
         bia = jnp.zeros((cout,), dt)
         gf = 2 * 9 * c * cout * h * w_ / 1e9
-        t_x = timeit(xla_site, x, wgt, bia, act)
+        t_x = timeit(lambda v, w2, b2, _a=act: xla_site(v, w2, b2, _a),
+                     x, wgt, bia)
         line = (f'{name}: xla {t_x*1e3:7.3f} ms ({gf/t_x/1e3:5.1f} TF/s)')
         if conv3x3_supported(shp, wgt.shape, dt):
             t_p = timeit(lambda v, w2, b2: conv3x3_pallas(
@@ -133,7 +134,7 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (1, 540, 480, 128)), dt)
     wgt = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, dt)
     bia = jnp.zeros((128,), dt)
-    t_x = timeit(xla_site, x, wgt, bia, 'none')
+    t_x = timeit(lambda v, w2, b2: xla_site(v, w2, b2, 'none'), x, wgt, bia)
     line = f'outc c2 folded 540x480x128->128(none): xla {t_x*1e3:7.3f} ms'
     if conv3x3_supported((1, 540, 480, 128), wgt.shape, dt):
         t_p = timeit(lambda v, w2, b2: conv3x3_pallas(
