@@ -222,24 +222,38 @@ def _unfold2s(x):
     return x.reshape(n, h, w2 * 2, c2 // 2)
 
 
-def _folded_stream_ok(x, cfg):
-    """Width-folded XLA stems for the per-frame streaming step: same trick
-    as wnet_arch._stage_apply_folded but XLA-only (the Pallas kernel
-    regresses at NT=1) — the folded convs are dense 128-lane contractions
-    instead of C=64/C=4 shapes XLA runs slowly at 540p."""
-    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
-        return False
-    if x.shape[-2] % 2 != 0:
-        return False
+def _on_tpu():
     try:
         return jax.devices()[0].platform in ('tpu', 'TPU', 'axon')
     except Exception:
         return False
 
 
-def _xla_site_folded(conv_p, x_f, act, act_name='act'):
+def _folded_stream_ok(x, cfg):
+    """Gate for the width-folded stems of the per-frame streaming step: same
+    trick as wnet_arch._stage_apply_folded — the folded convs are dense
+    128-lane contractions (NT=1 Pallas kernel where the shape qualifies)
+    instead of C=64/C=4 shapes XLA runs slowly at 540p."""
+    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
+        return False
+    if x.shape[-2] % 2 != 0:
+        return False
+    return _on_tpu()
+
+
+def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None):
+    """Width-folded conv site for the per-frame step. ``kernel_act``: an act
+    name ('relu6'/'relu'/'none') routes the folded conv through the NT=1
+    row-block-pipelined Pallas kernel when the shape qualifies (the gen-2
+    frame-minor kernel regressed at NT=1; the row-block variant wins —
+    see PERF.md round-3 streaming table)."""
     from bsvd_tpu.ops.conv3x3 import fold_width_weights
     w2, b2 = fold_width_weights(conv_p['w'], conv_p['b'])
+    if kernel_act is not None:
+        from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
+        if (x_f.shape[-1] >= 128
+                and conv3x3_supported(x_f.shape, w2.shape, x_f.dtype)):
+            return conv3x3_pallas(x_f, w2, b2, shift='none', act=kernel_act)
     y = conv2d({'w': w2, 'b': b2}, x_f)
     return y if act_name == 'none' else act(y)
 
@@ -260,13 +274,15 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     norm = cfg.norm
     fd = cfg.fold_div
     causal = 'toFutureOnly' in cfg.shift_mode
-    # Measured on-chip: routing per-frame (NT=1) convs through the Pallas
-    # kernel REGRESSES streaming (32.8 -> 37.6 ms/frame, causal 27 -> 39):
-    # a single frame gets no cross-step ring reuse, so every row block pays
-    # a serialized DMA prologue, and ~18 custom-call boundaries per step
-    # break XLA's fusion. Streaming stays on XLA convs; _conv_act_fused
-    # remains for batched-streaming experiments (pass an act name).
-    an = None
+    # Per-frame convs route through the NT=1 ROW-BLOCK-pipelined Pallas
+    # kernel (ops/conv3x3._kernel_nt1). The original frame-minor kernel
+    # regressed at NT=1 (32.8 -> 37.6 ms/frame: no cross-step ring reuse,
+    # serialized DMA prologue per row block); the row-block variant
+    # double-buffers DMA across row blocks and beats XLA at every >=128-lane
+    # site (PERF.md round-3 streaming table). C<128 sites (inc c1, stride-2
+    # downs) stay on XLA.
+    use_k = cfg.use_fused and cfg.norm == 'none' and _on_tpu()
+    an = cfg.act if use_k else None
     new_st = dict(st)
 
     new_st['skip1'] = _ring_push(st['skip1'], x[..., :cfg.residual_ch], valid)
@@ -281,8 +297,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
                                     assume_filled)
         new_st['inc'] = [s1, s2]
     elif folded:
-        x0f = _xla_site_folded(p['inc']['c1'], _fold2s(x), act)
-        x0f = _xla_site_folded(p['inc']['c2'], x0f, act)
+        x0f = _xla_site_folded(p['inc']['c1'], _fold2s(x), act, kernel_act=an)
+        x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
         x0 = _unfold2s(x0f)     # free reshape; skips/buffers stay natural
         v0 = valid
     else:
@@ -312,7 +328,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
                                         x2, v2, fd, causal, assume_filled,
                                         an)
-    x2 = pixel_shuffle(conv2d(u['conv'], x2), 2)
+    x2 = pixel_shuffle(_conv_act_fused(u['conv'], 'none', None, act, x2,
+                                       'none'), 2)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
@@ -320,15 +337,18 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
                                           causal, assume_filled, an)
-    x1u = pixel_shuffle(conv2d(u['conv'], x1u), 2)
+    x1u = pixel_shuffle(_conv_act_fused(u['conv'], 'none', None, act, x1u,
+                                        'none'), 2)
 
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 
     o = p['outc']
     if folded:
         yf = _xla_site_folded(o['c1'],
-                              _fold2s(x1u + sk2.astype(x1u.dtype)), act)
-        y = _unfold2s(_xla_site_folded(o['c2'], yf, act, act_name='none'))
+                              _fold2s(x1u + sk2.astype(x1u.dtype)), act,
+                              kernel_act=an)
+        y = _unfold2s(_xla_site_folded(o['c2'], yf, act, act_name='none',
+                                       kernel_act='none' if an else None))
     else:
         y = act(norm_apply(norm, o['n1'],
                            conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))

@@ -168,3 +168,62 @@ def test_nt1_rowblock_kernel_width_folded_c64():
                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('nt,act', [(3, 'relu6'), (1, 'relu6'), (1, 'none'),
+                                    (2, 'relu')])
+def test_stride2_kernel_interpret_matches_xla(nt, act):
+    """Width-folded stride-2 down-conv kernel (ops/conv_s2): frame-minor and
+    NT=1 row-block variants vs the XLA composite."""
+    from bsvd_tpu.ops.conv_s2 import _conv_s2_xla, conv_s2_pallas
+    rng = np.random.default_rng(11)
+    NT, H, W, C, CO = nt, 12, 16, 16, 24
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 2, C, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _conv_s2_xla(x, w, b, act)
+    for bh in (2, 3, 6):
+        got = conv_s2_pallas(x, w, b, act=act, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_stride2_kernel_matches_folded_down_site():
+    """conv_s2 on the folded view == the natural stride-2 conv site
+    (fold_width_stride2_weights roundtrip through the kernel)."""
+    from bsvd_tpu.ops.conv3x3 import fold_width_stride2_weights
+    from bsvd_tpu.ops.conv_s2 import conv_s2_pallas
+    rng = np.random.default_rng(12)
+    NT, H, W, C, CO = 2, 8, 12, 8, 16
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    import jax.lax as lax
+    ref = lax.conv_general_dilated(x, w, (2, 2), [(1, 1), (1, 1)],
+                                   dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ref = jnp.clip(ref + b, 0, 6)
+    w2, b2 = fold_width_stride2_weights(w, b)
+    got = conv_s2_pallas(x.reshape(NT, H, W // 2, 2 * C), w2, b2,
+                         act='relu6', bh=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_stride2_custom_vjp_gradients():
+    from bsvd_tpu.ops.conv_s2 import _conv_s2_xla, conv_s2
+    import jax
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 16, 64, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 2, 16, 16)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+    def loss_fused(x, w, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_s2(x, w, b) ** 2)
+    def loss_ref(x, w, b):
+        return jnp.sum(_conv_s2_xla(x, w, b, 'relu6') ** 2)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
