@@ -258,9 +258,15 @@ def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None):
     return y if act_name == 'none' else act(y)
 
 
-def _xla_down_folded(conv_p, x_f, act):
+def _xla_down_folded(conv_p, x_f, act, kernel_act=None):
+    """Folded stride-2 down conv: the Pallas s2 kernel (ops/conv_s2) when
+    an act name is given and the shape qualifies, folded XLA otherwise."""
     from bsvd_tpu.ops.conv3x3 import fold_width_stride2_weights
     w2, b2 = fold_width_stride2_weights(conv_p['w'], conv_p['b'])
+    if kernel_act is not None:
+        from bsvd_tpu.ops.conv_s2 import conv_s2_pallas, conv_s2_supported
+        if conv_s2_supported(x_f.shape, w2.shape, x_f.dtype):
+            return conv_s2_pallas(x_f, w2, b2, act=kernel_act)
     y = lax.conv_general_dilated(
         x_f, w2, (2, 1), ((1, 1), (1, 0)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -310,7 +316,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
 
     d = p['down0']
     if folded:
-        y = _xla_down_folded(d['conv'], _fold2s(x0), act)
+        y = _xla_down_folded(d['conv'], _fold2s(x0), act, kernel_act=an)
     else:
         y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
@@ -319,7 +325,11 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['skip3'] = _ring_push(new_st['skip3'] if 'skip3' in new_st else st['skip3'], x1, v1)
 
     d = p['down1']
-    y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    if folded and x1.shape[-2] % 2 == 0:
+        # down1 through the same fold: (270, 480, 128) -> (270, 240, 256)
+        y = _xla_down_folded(d['conv'], _fold2s(x1), act, kernel_act=an)
+    else:
+        y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
     new_st['down1'], x2, v2 = _memcv_step(d['cv'], norm, act, st['down1'],
                                           y, v1, fd, causal, assume_filled,
                                           an)

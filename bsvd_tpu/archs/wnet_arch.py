@@ -275,11 +275,17 @@ def _site_folded(conv_p, x_f, cfg, act, act_name):
 
 def _down_folded(conv_p, norm_p, x_f, cfg, act):
     """Stride-2 down conv from the folded domain -> NATURAL half-res
-    output (which the shift-conv blocks consume)."""
+    output (which the shift-conv blocks consume). Pallas s2 kernel
+    (ops/conv_s2) when the shape qualifies, folded XLA otherwise."""
     from bsvd_tpu.ops.conv3x3 import fold_width_stride2_weights
     w2, b2 = fold_width_stride2_weights(conv_p['w'], conv_p['b'])
     n, t, h, wf, c2 = x_f.shape
     xm = x_f.reshape(n * t, h, wf, c2)
+    if cfg.use_fused and cfg.norm == 'none' and cfg.act in ('relu', 'relu6'):
+        from bsvd_tpu.ops.conv_s2 import conv_s2, conv_s2_supported
+        if conv_s2_supported(xm.shape, w2.shape, xm.dtype):
+            y = conv_s2(xm, w2, b2, cfg.act)
+            return y.reshape(n, t, y.shape[1], y.shape[2], y.shape[3])
     y = jax.lax.conv_general_dilated(
         xm, w2, (2, 1), ((1, 1), (1, 0)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -310,7 +316,11 @@ def _stage_apply_folded(p, x, cfg, act):
     x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True)
 
     d = p['down1']
-    x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    if x1.shape[-2] % 2 == 0:
+        # down1 through the same fold: (270p, 128) -> folded (240, 256)
+        x2 = _down_folded(d['conv'], d['n'], _fold2(x1), cfg, act)
+    else:
+        x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
     x2 = _cvblock_apply(d['cv'], x2, cfg, act, True)
 
     u = p['up2']
