@@ -241,7 +241,8 @@ def _folded_stream_ok(x, cfg):
     return _on_tpu()
 
 
-def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None):
+def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None,
+                     x2_f=None):
     """Width-folded conv site for the per-frame step. ``kernel_act``: an act
     name ('relu6'/'relu'/'none') routes the folded conv through the NT=1
     row-block-pipelined Pallas kernel when the shape qualifies (the gen-2
@@ -253,8 +254,10 @@ def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None):
         from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
         if (x_f.shape[-1] >= 128
                 and conv3x3_supported(x_f.shape, w2.shape, x_f.dtype)):
-            return conv3x3_pallas(x_f, w2, b2, shift='none', act=kernel_act)
-    y = conv2d({'w': w2, 'b': b2}, x_f)
+            return conv3x3_pallas(x_f, w2, b2, x2_f, shift='none',
+                                  act=kernel_act)
+    xin = x_f if x2_f is None else x_f + x2_f
+    y = conv2d({'w': w2, 'b': b2}, xin)
     return y if act_name == 'none' else act(y)
 
 
@@ -354,9 +357,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
 
     o = p['outc']
     if folded:
-        yf = _xla_site_folded(o['c1'],
-                              _fold2s(x1u + sk2.astype(x1u.dtype)), act,
-                              kernel_act=an)
+        yf = _xla_site_folded(o['c1'], _fold2s(x1u), act, kernel_act=an,
+                              x2_f=_fold2s(sk2.astype(x1u.dtype)))
         y = _unfold2s(_xla_site_folded(o['c2'], yf, act, act_name='none',
                                        kernel_act='none' if an else None))
     else:

@@ -257,19 +257,27 @@ def _folded_stems_ok(x, cfg):
         return False
 
 
-def _site_folded(conv_p, x_f, cfg, act, act_name):
+def _site_folded(conv_p, x_f, cfg, act, act_name, x2_f=None):
     """One folded conv site: conv with width-folded weights on the folded
     activation — the Pallas kernel when the folded shape qualifies, a
-    plain XLA conv otherwise."""
+    plain XLA conv otherwise. ``x2_f``: optional second addend; the skip-add
+    fuses into the kernel's tile assembly (no extra HBM round trip)."""
     from bsvd_tpu.ops.conv3x3 import fold_width_weights
     w2, b2 = fold_width_weights(conv_p['w'], conv_p['b'])
     n, t, h, wf, c2 = x_f.shape
     if cfg.use_fused and c2 >= 128:
-        from bsvd_tpu.ops.conv3x3 import conv3x3, conv3x3_supported
+        from bsvd_tpu.ops.conv3x3 import (conv3x3, conv3x3_add2,
+                                          conv3x3_supported)
         if conv3x3_supported((n * t, h, wf, c2), w2.shape, x_f.dtype):
-            y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name)
+            if x2_f is None:
+                y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name)
+            else:
+                y = conv3x3_add2(x_f.reshape(n * t, h, wf, c2),
+                                 x2_f.reshape(n * t, h, wf, c2), w2, b2,
+                                 act_name)
             return y.reshape(n, t, h, wf, y.shape[-1])
-    y = conv2d({'w': w2, 'b': b2}, x_f)
+    xin = x_f if x2_f is None else x_f + x2_f
+    y = conv2d({'w': w2, 'b': b2}, xin)
     return y if act_name == 'none' else act(y)
 
 
@@ -335,7 +343,7 @@ def _stage_apply_folded(p, x, cfg, act):
     x1uf = _fold2(x1u)    # free: same row-major buffer
 
     o = p['outc']
-    y = _site_folded(o['c1'], x0 + x1uf, cfg, act, cfg.act)
+    y = _site_folded(o['c1'], x0, cfg, act, cfg.act, x2_f=x1uf)
     y = _site_folded(o['c2'], y, cfg, act, 'none')
 
     # residual on the first residual_ch channels, in the folded domain

@@ -35,7 +35,7 @@ def _ring_size(shift):
 
 
 def _pick_bh(h, w, c, cout, shift, itemsize=2,
-             vmem_budget=15 * 1024 * 1024):
+             vmem_budget=15 * 1024 * 1024, n_in=1):
     """Largest divisor of H whose working set fits in VMEM.
 
     Calibrated against Mosaic's observed allocations (see the fp32 OOM in
@@ -56,14 +56,16 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
         acc = bh * w * cout_pad * 4
         out = 2 * bh * w * cout_pad * itemsize
         wts = 9 * c_pad * cout_pad * itemsize + cout_pad * 4
-        total = int((nring + tmp_tiles) * tile) + 2 * acc + out + 2 * wts
+        total = int((nring * n_in + tmp_tiles) * tile) + 2 * acc + out + 2 * wts
         if total <= vmem_budget and bh * w >= 512:
             return bh
     return None
 
 
-def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
-            c, cout, fold, act, shift):
+def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
+    xs = refs[:n_in]
+    w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
+    assert n_in == 1 or shift == 'none'
     hb = pl.program_id(0)
     t = pl.program_id(1)
     nhb = pl.num_programs(0)
@@ -73,26 +75,29 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
     wp = w + 2 * _COL0
 
     def frame_dmas(frame, slot):
-        """Three unconditional clamped copies for one frame tile:
+        """Three unconditional clamped copies per input for one frame tile:
         main rows -> dst [1, bh+1), one-row top/bottom halos -> dst 0 and
         bh+1 (clamped at image boundaries; fix_halo zeroes those rows)."""
         f_idx = jnp.clip(frame, 0, nt - 1)
-        src = x_hbm.at[f_idx]
-        dst = ring.at[slot]
-        return (
-            pltpu.make_async_copy(
-                src.at[pl.ds(row0, bh), :, :],
-                dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                sems.at[slot, 1]),
-            pltpu.make_async_copy(
-                src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                sems.at[slot, 2]),
-        )
+        out = []
+        for i, x_hbm in enumerate(xs):
+            src = x_hbm.at[f_idx]
+            dst = ring.at[slot, i]
+            out += [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(row0, bh), :, :],
+                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 0]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
+                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 1]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
+                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 2]),
+            ]
+        return out
 
     def start(frame):
         for d in frame_dmas(frame, (frame % nring)):
@@ -103,17 +108,20 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
         for d in frame_dmas(frame, slot):
             d.wait()
         # zero rows the clamped halo DMAs filled with in-image garbage
-        @pl.when(hb == 0)
-        def _():
-            ring[slot, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
+        for i in range(n_in):
+            @pl.when(hb == 0)
+            def _(i=i):
+                ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
 
-        @pl.when(hb == nhb - 1)
-        def _():
-            ring[slot, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
-        # 3x3 column halo
-        ring[slot, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c), ring.dtype)
-        ring[slot, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
-                                                           ring.dtype)
+            @pl.when(hb == nhb - 1)
+            def _(i=i):
+                ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c),
+                                                         ring.dtype)
+            # 3x3 column halo
+            ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
+                                                          ring.dtype)
+            ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros(
+                (bh + 2, 1, c), ring.dtype)
 
     @pl.when(t == 0)
     def _():   # prologue for this row block
@@ -131,7 +139,9 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
     wait_fix(t + lookahead - 1)
 
     if shift == 'none':
-        tile = ring[t % nring]
+        tile = ring[t % nring, 0]
+        for i in range(1, n_in):
+            tile = tile + ring[t % nring, i]
     else:
         # assemble the shifted tile: lanes [0, fold) from frame t+1,
         # [fold, 2*fold) from t-1 (causal: [0, 2*fold) from t-1), rest from
@@ -140,14 +150,14 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
         in_clip = t % t_len
         has_fut = in_clip < (t_len - 1)
         has_pst = in_clip > 0
-        cur = ring[t % nring]
+        cur = ring[t % nring, 0]
         if shift == 'causal':
-            head = ring[(t + nring - 1) % nring, :, :, 0:2 * fold]
+            head = ring[(t + nring - 1) % nring, 0, :, :, 0:2 * fold]
             head = jnp.where(has_pst, head, jnp.zeros_like(head))
         else:
-            f1 = ring[(t + 1) % nring, :, :, 0:fold]
+            f1 = ring[(t + 1) % nring, 0, :, :, 0:fold]
             f1 = jnp.where(has_fut, f1, jnp.zeros_like(f1))
-            f2 = ring[(t + nring - 1) % nring, :, :, fold:2 * fold]
+            f2 = ring[(t + nring - 1) % nring, 0, :, :, fold:2 * fold]
             f2 = jnp.where(has_pst, f2, jnp.zeros_like(f2))
             head = jnp.concatenate([f1, f2], axis=-1)
         tile = jnp.concatenate([head, cur[:, :, 2 * fold:]], axis=-1)
@@ -168,13 +178,15 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, nt, t_len, bh, h, w,
     o_ref[...] = a.astype(o_ref.dtype)[None]
 
 
-def _kernel_nt1(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, bh, h, w, c,
-                cout, act):
+def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1):
     """Single-frame (NT=1) variant: the ROW-BLOCK axis carries the software
     pipeline. grid=(nhb,); a 2-slot VMEM ring double-buffers row-block tiles
     so block hb+1's DMA overlaps block hb's 9 MXU dots (the frame-minor
     kernel serializes its DMA prologue at NT=1 — measured regression, see
-    PERF.md)."""
+    PERF.md). With ``n_in=2`` a second input is DMAed alongside and summed
+    before the taps — the skip-add (e.g. outc's x0+x1u) fuses for free."""
+    xs = refs[:n_in]
+    w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
     wp = w + 2 * _COL0
@@ -182,22 +194,25 @@ def _kernel_nt1(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, bh, h, w, c,
     def block_dmas(blk, slot):
         """Clamped copies for row-block ``blk``: main rows + 1-row halos."""
         row0 = blk * bh
-        src = x_hbm.at[0]
-        dst = ring.at[slot]
-        return (
-            pltpu.make_async_copy(
-                src.at[pl.ds(row0, bh), :, :],
-                dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                sems.at[slot, 1]),
-            pltpu.make_async_copy(
-                src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                sems.at[slot, 2]),
-        )
+        out = []
+        for i, x_hbm in enumerate(xs):
+            src = x_hbm.at[0]
+            dst = ring.at[slot, i]
+            out += [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(row0, bh), :, :],
+                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 0]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
+                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 1]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
+                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 2]),
+            ]
+        return out
 
     def start(blk):
         for d in block_dmas(blk, blk % 2):
@@ -215,18 +230,22 @@ def _kernel_nt1(x_hbm, w_ref, b_ref, o_ref, ring, sems, *, bh, h, w, c,
     for d in block_dmas(hb, slot):
         d.wait()
     # zero the rows the clamped halo DMAs filled with in-image garbage
-    @pl.when(hb == 0)
-    def _():
-        ring[slot, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
+    for i in range(n_in):
+        @pl.when(hb == 0)
+        def _(i=i):
+            ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
 
-    @pl.when(hb == nhb - 1)
-    def _():
-        ring[slot, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
-    ring[slot, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c), ring.dtype)
-    ring[slot, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
-                                                       ring.dtype)
+        @pl.when(hb == nhb - 1)
+        def _(i=i):
+            ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
+        ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
+                                                      ring.dtype)
+        ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
+                                                              ring.dtype)
 
-    tile = ring[slot]
+    tile = ring[slot, 0]
+    for i in range(1, n_in):
+        tile = tile + ring[slot, i]
     a = jnp.zeros((bh, w, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
@@ -290,7 +309,7 @@ def _fold_width(x, w, b):
 @functools.partial(jax.jit,
                    static_argnames=('t_len', 'shift', 'fold_div', 'act',
                                     'bh', 'interpret'))
-def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
+def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
                    act='relu6', bh=None, interpret=False):
     """Fused (temporal-shift +) 3x3 conv (stride 1, pad 1) + bias + act.
 
@@ -299,6 +318,9 @@ def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
             concatenated along axis 0. C must be a multiple of 128, or 64
             (width-folded internally).
         w: (3, 3, C, Cout); b: (Cout,).
+        x2: optional second input (same shape as x, plain conv only): the
+            kernel computes conv(x + x2) with the add fused into tile
+            assembly — skip-adds cost no extra HBM round trip.
         shift: 'none' | 'tsm' | 'causal'.
     Returns:
         (N*T, H, W, Cout) in x.dtype.
@@ -306,76 +328,75 @@ def conv3x3_pallas(x, w, b, *, t_len=None, shift='none', fold_div=8,
     nt, h, w_, c = x.shape
     cout = w.shape[-1]
     if c == 64 and shift == 'none' and w_ % 2 == 0:
-        x2, w2, b2 = _fold_width(x, w, b)
-        y = conv3x3_pallas(x2, w2, b2, t_len=t_len, shift='none', act=act,
-                           bh=bh, interpret=interpret)
+        xf, w2, b2 = _fold_width(x, w, b)
+        x2f = None if x2 is None else x2.reshape(nt, h, w_ // 2, 2 * c)
+        y = conv3x3_pallas(xf, w2, b2, x2f, t_len=t_len, shift='none',
+                           act=act, bh=bh, interpret=interpret)
         return y.reshape(nt, h, w_, cout)
     fold = c // fold_div
     if shift != 'none':
         assert t_len is not None and nt % t_len == 0, (nt, t_len)
+        assert x2 is None, 'fused add is plain-conv only'
+    xs = (x,) if x2 is None else (x, x2)
+    n_in = len(xs)
     if bh is None:
-        bh = _pick_bh(h, w_, c, cout, shift, jnp.dtype(x.dtype).itemsize)
+        bh = _pick_bh(h, w_, c, cout, shift, jnp.dtype(x.dtype).itemsize,
+                      n_in=n_in)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
     nring = _ring_size(shift)
 
-    if nt == 1 and shift == 'none':
-        # single frame: pipeline over row blocks instead (see _kernel_nt1)
-        kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c,
-                                 cout=cout, act=act)
-        return pl.pallas_call(
-            kern,
-            grid=(nhb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, bh, w_, cout),
-                                   lambda hb: (0, hb, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, h, w_, cout), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2, bh + 2, w_ + 2 * _COL0, c), x.dtype),
-                pltpu.SemaphoreType.DMA((2, 3)),
-            ],
-            cost_estimate=pl.CostEstimate(flops=2 * 9 * c * cout * h * w_,
-                                          bytes_accessed=x.size * 2 * 2,
-                                          transcendentals=0),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=('arbitrary',)),
-            interpret=interpret,
-        )(x, w, b.reshape(1, cout))
-
-    kern = functools.partial(
-        _kernel, nt=nt, t_len=t_len if t_len else nt, bh=bh, h=h, w=w_, c=c,
-        cout=cout, fold=fold, act=act, shift=shift)
-
     flops = 2 * 9 * c * cout * h * w_ * nt
-    return pl.pallas_call(
-        kern,
-        grid=(nhb, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+    common = dict(
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in + [
             pl.BlockSpec(memory_space=pltpu.VMEM),    # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),    # bias
         ],
+        out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=x.size * 2 * 2 * n_in,
+                                      transcendentals=0),
+        interpret=interpret,
+    )
+
+    if nt == 1 and shift == 'none':
+        # single frame: pipeline over row blocks instead (see _kernel_nt1)
+        kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c,
+                                 cout=cout, act=act, n_in=n_in)
+        return pl.pallas_call(
+            kern,
+            grid=(nhb,),
+            out_specs=pl.BlockSpec((1, bh, w_, cout),
+                                   lambda hb: (0, hb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, n_in, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            **common,
+        )(*xs, w, b.reshape(1, cout))
+
+    kern = functools.partial(
+        _kernel, nt=nt, t_len=t_len if t_len else nt, bh=bh, h=h, w=w_, c=c,
+        cout=cout, fold=fold, act=act, shift=shift, n_in=n_in)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nhb, nt),
         out_specs=pl.BlockSpec((1, bh, w_, cout),
                                lambda hb, t: (t, hb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nring, bh + 2, w_ + 2 * _COL0, c), x.dtype),
-            pltpu.SemaphoreType.DMA((nring, 3)),
+            pltpu.VMEM((nring, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((nring, n_in, 3)),
         ],
-        cost_estimate=pl.CostEstimate(flops=flops,
-                                      bytes_accessed=x.size * 2 * 2,
-                                      transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
-        interpret=interpret,
-    )(x, w, b.reshape(1, cout))
+        **common,
+    )(*xs, w, b.reshape(1, cout))
 
 
 def _conv3x3_xla(x, w, b, act):
@@ -428,6 +449,44 @@ def _c3_bwd(act, res, g):
 
 
 conv3x3.defvjp(_c3_fwd, _c3_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv3x3_add2(x, x2, w, b, act='relu6'):
+    """conv3x3(x + x2) with the skip-add fused into the kernel's tile
+    assembly (outc's x0 + x1u site). Same backward as conv3x3 with the
+    input gradient fanned out to both addends."""
+    return conv3x3_pallas(x, w, b, x2, shift='none', act=act)
+
+
+def _c3a_fwd(x, x2, w, b, act):
+    y = conv3x3_pallas(x, w, b, x2, shift='none', act=act)
+    return y, (x, x2, w, b, y)
+
+
+def _c3a_bwd(act, res, g):
+    from bsvd_tpu.ops.shift_conv import act_mask
+    x, x2, w, b, y = res
+    mask = act_mask(y, act)
+    dz = g if mask is None else g * mask
+    db = dz.sum((0, 1, 2)).astype(b.dtype)
+
+    def conv_x(v):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def conv_w(v):
+        return lax.conv_general_dilated(
+            x + x2, v, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    dx = jax.linear_transpose(conv_x, x)(dz)[0]
+    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    return dx, dx, dw, db
+
+
+conv3x3_add2.defvjp(_c3a_fwd, _c3a_bwd)
 
 
 def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):

@@ -227,3 +227,44 @@ def test_stride2_custom_vjp_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('nt', [1, 3])
+def test_conv3x3_fused_add_interpret(nt):
+    """conv3x3_pallas with a second input == XLA conv of the sum (the fused
+    skip-add path), both NT=1 and frame-minor variants, incl. C=64 fold."""
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_pallas
+    rng = np.random.default_rng(21)
+    for c in (16, 64):
+        x = jnp.asarray(rng.standard_normal((nt, 8, 16, c)), jnp.float32)
+        x2 = jnp.asarray(rng.standard_normal((nt, 8, 16, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, c, 16)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+        ref = _conv3x3_xla(x + x2, w, b, 'relu6')
+        got = conv3x3_pallas(x, w, b, x2, shift='none', act='relu6', bh=4,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'c={c}')
+
+
+def test_conv3x3_add2_gradients():
+    from bsvd_tpu.ops.conv3x3 import _conv3x3_xla, conv3x3_add2
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 8, 64, 16)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, 8, 64, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+
+    def loss_fused(x, x2, w, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv3x3_add2(x, x2, w, b) ** 2)
+
+    def loss_ref(x, x2, w, b):
+        return jnp.sum(_conv3x3_xla(x + x2, w, b, 'relu6') ** 2)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, x2, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, x2, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
