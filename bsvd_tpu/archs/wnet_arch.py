@@ -190,14 +190,18 @@ def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
     return act(y)
 
 
-def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None):
+def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None):
     """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
     convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
-    overriding the default whole-segment shift (used for chunked carry)."""
+    overriding the default whole-segment shift (used for chunked carry).
+    ``x_add``: optional second addend consumed by the FIRST conv with the
+    skip-add fused into the kernel (up1's x1 + x2 entry)."""
     if temporal and shift_pair is None:
-        x = _shift_conv_act_site(p['c1'], p['n1'], x, cfg, act)
+        x = _shift_conv_act_site(p['c1'], p['n1'], x, cfg, act, x_add)
         x = _shift_conv_act_site(p['c2'], p['n2'], x, cfg, act)
         return x
+    if x_add is not None:
+        x = x + x_add
     if temporal:
         x = _shift(x, cfg, shift_pair[0] if shift_pair else None)
     x = act(norm_apply(cfg.norm, p['n1'], conv2d(p['c1'], x)))
@@ -207,14 +211,21 @@ def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None):
     return x
 
 
-def _shift_conv_act_site(conv_p, norm_p, x, cfg, act):
+def _shift_conv_act_site(conv_p, norm_p, x, cfg, act, x_add=None):
     if _fused_ok(x, conv_p, cfg):
-        from bsvd_tpu.ops.shift_conv import shift_conv
+        from bsvd_tpu.ops.shift_conv import shift_conv, shift_conv_add2
         n, t, h, w, c = x.shape
-        y = shift_conv(x.reshape(n * t, h, w, c), conv_p['w'], conv_p['b'], t,
-                       cfg.fold_div, cfg.act,
-                       'toFutureOnly' in cfg.shift_mode)
+        causal = 'toFutureOnly' in cfg.shift_mode
+        if x_add is None:
+            y = shift_conv(x.reshape(n * t, h, w, c), conv_p['w'],
+                           conv_p['b'], t, cfg.fold_div, cfg.act, causal)
+        else:
+            y = shift_conv_add2(x.reshape(n * t, h, w, c),
+                                x_add.reshape(n * t, h, w, c), conv_p['w'],
+                                conv_p['b'], t, cfg.fold_div, cfg.act, causal)
         return y.reshape(n, t, h, w, y.shape[-1])
+    if x_add is not None:
+        x = x + x_add
     xs = _shift(x, cfg, None)
     return act(norm_apply(cfg.norm, norm_p, conv2d(conv_p, xs)))
 
@@ -337,7 +348,7 @@ def _stage_apply_folded(p, x, cfg, act):
                                        act_name='none'), 2)
 
     u = p['up1']
-    x1 = _cvblock_apply(u['cv'], x1 + x2, cfg, act, True)
+    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2)
     x1u = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
                                         act_name='none'), 2)
     x1uf = _fold2(x1u)    # free: same row-major buffer
@@ -397,7 +408,9 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
                                        act_name='none'), 2)
 
     u = p['up1']
-    x1 = _cvblock_apply(u['cv'], x1 + x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True,
+                        (next_shift(), next_shift()) if shift_fns else None,
+                        x_add=x2)
     x1 = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
                                        act_name='none'), 2)
 

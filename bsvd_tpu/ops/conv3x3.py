@@ -65,7 +65,6 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
 def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
     xs = refs[:n_in]
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
-    assert n_in == 1 or shift == 'none'
     hb = pl.program_id(0)
     t = pl.program_id(1)
     nhb = pl.num_programs(0)
@@ -138,10 +137,20 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
 
     wait_fix(t + lookahead - 1)
 
-    if shift == 'none':
-        tile = ring[t % nring, 0]
+    def summed(slot, lane_lo=None, lane_hi=None):
+        """Sum of the n_in input tiles for a ring slot (lane range opt.)."""
+        if lane_lo is None:
+            v = ring[slot, 0]
+            for i in range(1, n_in):
+                v = v + ring[slot, i]
+            return v
+        v = ring[slot, 0, :, :, lane_lo:lane_hi]
         for i in range(1, n_in):
-            tile = tile + ring[t % nring, i]
+            v = v + ring[slot, i, :, :, lane_lo:lane_hi]
+        return v
+
+    if shift == 'none':
+        tile = summed(t % nring)
     else:
         # assemble the shifted tile: lanes [0, fold) from frame t+1,
         # [fold, 2*fold) from t-1 (causal: [0, 2*fold) from t-1), rest from
@@ -150,14 +159,14 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
         in_clip = t % t_len
         has_fut = in_clip < (t_len - 1)
         has_pst = in_clip > 0
-        cur = ring[t % nring, 0]
+        cur = summed(t % nring)
         if shift == 'causal':
-            head = ring[(t + nring - 1) % nring, 0, :, :, 0:2 * fold]
+            head = summed((t + nring - 1) % nring, 0, 2 * fold)
             head = jnp.where(has_pst, head, jnp.zeros_like(head))
         else:
-            f1 = ring[(t + 1) % nring, 0, :, :, 0:fold]
+            f1 = summed((t + 1) % nring, 0, fold)
             f1 = jnp.where(has_fut, f1, jnp.zeros_like(f1))
-            f2 = ring[(t + nring - 1) % nring, 0, :, :, fold:2 * fold]
+            f2 = summed((t + nring - 1) % nring, fold, 2 * fold)
             f2 = jnp.where(has_pst, f2, jnp.zeros_like(f2))
             head = jnp.concatenate([f1, f2], axis=-1)
         tile = jnp.concatenate([head, cur[:, :, 2 * fold:]], axis=-1)
@@ -336,7 +345,6 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     fold = c // fold_div
     if shift != 'none':
         assert t_len is not None and nt % t_len == 0, (nt, t_len)
-        assert x2 is None, 'fused add is plain-conv only'
     xs = (x,) if x2 is None else (x, x2)
     n_in = len(xs)
     if bh is None:

@@ -146,7 +146,7 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, cur, fut, pst, sems, *,
 
 
 def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
-                     causal=False, bh=None, interpret=False):
+                     causal=False, bh=None, interpret=False, x2=None):
     """Fused temporal-shift + 3x3 conv (stride 1, pad 1) + bias + act.
 
     Delegates to the generation-2 ring-buffered kernel
@@ -156,11 +156,13 @@ def shift_conv_fused(x, w, b, *, t_len, fold_div=8, act='relu6',
     Args:
         x: (N*T, H, W, C) — clips of length ``t_len`` concatenated on axis 0.
         w: (3, 3, C, Cout); b: (Cout,).
+        x2: optional second addend — shift+conv of (x + x2) with the add
+            fused into the kernel's tile assembly (up1's x1 + x2 site).
     Returns:
         (N*T, H, W, Cout) in x.dtype.
     """
     from bsvd_tpu.ops.conv3x3 import conv3x3_pallas
-    return conv3x3_pallas(x, w, b, t_len=t_len,
+    return conv3x3_pallas(x, w, b, x2, t_len=t_len,
                           shift='causal' if causal else 'tsm',
                           fold_div=fold_div, act=act, bh=bh,
                           interpret=interpret)
@@ -296,6 +298,30 @@ def _sc_bwd(t_len, fold_div, act, causal, res, g):
 
 
 shift_conv.defvjp(_sc_fwd, _sc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def shift_conv_add2(x, x2, w, b, t_len, fold_div=8, act='relu6',
+                    causal=False):
+    """Differentiable fused shift+conv of (x + x2): the skip-add is fused
+    into the kernel's tile assembly (up1's x1 + x2 site)."""
+    return shift_conv_fused(x, w, b, t_len=t_len, fold_div=fold_div, act=act,
+                            causal=causal, x2=x2)
+
+
+def _sca_fwd(x, x2, w, b, t_len, fold_div, act, causal):
+    y = shift_conv_fused(x, w, b, t_len=t_len, fold_div=fold_div, act=act,
+                         causal=causal, x2=x2)
+    return y, (x, x2, w, b, y)
+
+
+def _sca_bwd(t_len, fold_div, act, causal, res, g):
+    x, x2, w, b, y = res
+    dx, dw, db = _sc_bwd(t_len, fold_div, act, causal, (x + x2, w, b, y), g)
+    return dx, dx, dw, db
+
+
+shift_conv_add2.defvjp(_sca_fwd, _sca_bwd)
 
 
 def shift_conv_supported(x_shape, w_shape, dtype, norm):
