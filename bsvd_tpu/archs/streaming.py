@@ -276,6 +276,31 @@ def _xla_down_folded(conv_p, x_f, act, kernel_act=None):
     return act(y + b2.astype(y.dtype))
 
 
+def _pair_folded_stream(p1, p2, x_f, act, act_name2, kernel_act, x2_f=None):
+    """Chained folded conv pair for the per-frame step (ops/conv_chain);
+    falls back to two single sites."""
+    if kernel_act is not None and x_f.shape[-1] >= 128:
+        from bsvd_tpu.ops.conv3x3 import fold_width_weights
+        from bsvd_tpu.ops.conv_chain import (conv_chain_pallas,
+                                             conv_chain_supported)
+        w1, b1 = fold_width_weights(p1['w'], p1['b'])
+        w2, b2 = fold_width_weights(p2['w'], p2['b'])
+        n_in = 1 if x2_f is None else 2
+        if conv_chain_supported(x_f.shape, w1.shape, w2.shape, x_f.dtype,
+                                n_in):
+            return conv_chain_pallas(x_f, w1, b1, w2, b2, x2_f,
+                                     act1=kernel_act, act2=act_name2)
+    y = _xla_site_folded(p1, x_f, act, kernel_act=kernel_act, x2_f=x2_f)
+    return _xla_site_folded(p2, y, act, act_name=act_name2,
+                            kernel_act=act_name2 if kernel_act else None)
+
+
+def _up_conv_ps_stream(conv_p, x, act):
+    """Per-frame up conv (Pallas when supported) + XLA pixel shuffle."""
+    return pixel_shuffle(_conv_act_fused(conv_p, 'none', None, act, x,
+                                         'none'), 2)
+
+
 def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     """One frame through one DenBlock stage (streaming DenBlock.forward,
     bsvd_arch.py:374-396). ``assume_filled=True`` (static) treats every
@@ -306,8 +331,13 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
                                     assume_filled)
         new_st['inc'] = [s1, s2]
     elif folded:
-        x0f = _xla_site_folded(p['inc']['c1'], _fold2s(x), act, kernel_act=an)
-        x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
+        xf = _fold2s(x)
+        if xf.shape[-1] >= 128:
+            x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
+                                      act, an or 'relu6', an)
+        else:
+            x0f = _xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an)
+            x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
         x0 = _unfold2s(x0f)     # free reshape; skips/buffers stay natural
         v0 = valid
     else:
@@ -341,8 +371,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
                                         x2, v2, fd, causal, assume_filled,
                                         an)
-    x2 = pixel_shuffle(_conv_act_fused(u['conv'], 'none', None, act, x2,
-                                       'none'), 2)
+    x2 = _up_conv_ps_stream(u['conv'], x2, act)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
@@ -350,17 +379,16 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
                                           causal, assume_filled, an)
-    x1u = pixel_shuffle(_conv_act_fused(u['conv'], 'none', None, act, x1u,
-                                        'none'), 2)
+    x1u = _up_conv_ps_stream(u['conv'], x1u, act)
 
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 
     o = p['outc']
     if folded:
-        yf = _xla_site_folded(o['c1'], _fold2s(x1u), act, kernel_act=an,
-                              x2_f=_fold2s(sk2.astype(x1u.dtype)))
-        y = _unfold2s(_xla_site_folded(o['c2'], yf, act, act_name='none',
-                                       kernel_act='none' if an else None))
+        yf = _pair_folded_stream(o['c1'], o['c2'], _fold2s(x1u), act,
+                                 'none', an,
+                                 x2_f=_fold2s(sk2.astype(x1u.dtype)))
+        y = _unfold2s(yf)
     else:
         y = act(norm_apply(norm, o['n1'],
                            conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))

@@ -190,6 +190,15 @@ def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
     return act(y)
 
 
+def _up_conv_ps(conv_p, x, cfg, act):
+    """Up-path conv + r=2 pixel shuffle (Pallas conv + XLA transpose; an
+    in-kernel shuffled write was tried and removed — the lane->sublane move
+    has no Mosaic lowering, see ops/conv3x3._epilogue)."""
+    from bsvd_tpu.nn.layers import pixel_shuffle
+    return pixel_shuffle(_plain_conv_act(conv_p, None, x, cfg, act,
+                                         act_name='none'), 2)
+
+
 def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None):
     """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
     convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
@@ -292,6 +301,32 @@ def _site_folded(conv_p, x_f, cfg, act, act_name, x2_f=None):
     return y if act_name == 'none' else act(y)
 
 
+def _pair_folded(p1, p2, x_f, cfg, act, act2, x2_f=None):
+    """Chained pair of folded conv sites (inc c1+c2 / outc c1+c2) through
+    the rolling-intermediate kernel (ops/conv_chain) — the intermediate
+    never touches HBM. Falls back to two single-conv sites."""
+    from bsvd_tpu.ops.conv3x3 import fold_width_weights
+    n, t, h, wf, c2 = x_f.shape
+    if cfg.use_fused and cfg.norm == 'none' and c2 >= 128 \
+            and cfg.act in ('relu', 'relu6'):
+        from bsvd_tpu.ops.conv_chain import (conv_chain, conv_chain_add2,
+                                             conv_chain_supported)
+        w1, b1 = fold_width_weights(p1['w'], p1['b'])
+        w2, b2 = fold_width_weights(p2['w'], p2['b'])
+        n_in = 1 if x2_f is None else 2
+        if conv_chain_supported((n * t, h, wf, c2), w1.shape, w2.shape,
+                                x_f.dtype, n_in):
+            xm = x_f.reshape(n * t, h, wf, c2)
+            if x2_f is None:
+                y = conv_chain(xm, w1, b1, w2, b2, cfg.act, act2)
+            else:
+                y = conv_chain_add2(xm, x2_f.reshape(n * t, h, wf, c2),
+                                    w1, b1, w2, b2, cfg.act, act2)
+            return y.reshape(n, t, h, wf, y.shape[-1])
+    y = _site_folded(p1, x_f, cfg, act, cfg.act, x2_f=x2_f)
+    return _site_folded(p2, y, cfg, act, act2)
+
+
 def _down_folded(conv_p, norm_p, x_f, cfg, act):
     """Stride-2 down conv from the folded domain -> NATURAL half-res
     output (which the shift-conv blocks consume). Pallas s2 kernel
@@ -328,8 +363,12 @@ def _stage_apply_folded(p, x, cfg, act):
     xf = _fold2(x)
     in_ch = x.shape[-1]
 
-    x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
-    x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
+    if xf.shape[-1] >= 128:
+        x0 = _pair_folded(p['inc']['c1'], p['inc']['c2'], xf, cfg, act,
+                          cfg.act)
+    else:
+        x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
+        x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
 
     x1 = _down_folded(p['down0']['conv'], p['down0']['n'], x0, cfg, act)
     x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True)
@@ -344,18 +383,15 @@ def _stage_apply_folded(p, x, cfg, act):
 
     u = p['up2']
     x2 = _cvblock_apply(u['cv'], x2, cfg, act, True)
-    x2 = pixel_shuffle(_plain_conv_act(u['conv'], None, x2, cfg, act,
-                                       act_name='none'), 2)
+    x2 = _up_conv_ps(u['conv'], x2, cfg, act)
 
     u = p['up1']
     x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2)
-    x1u = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
-                                        act_name='none'), 2)
+    x1u = _up_conv_ps(u['conv'], x1, cfg, act)
     x1uf = _fold2(x1u)    # free: same row-major buffer
 
     o = p['outc']
-    y = _site_folded(o['c1'], x0, cfg, act, cfg.act, x2_f=x1uf)
-    y = _site_folded(o['c2'], y, cfg, act, 'none')
+    y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
 
     # residual on the first residual_ch channels, in the folded domain
     rc = cfg.residual_ch
@@ -404,15 +440,13 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
 
     u = p['up2']
     x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
-    x2 = pixel_shuffle(_plain_conv_act(u['conv'], None, x2, cfg, act,
-                                       act_name='none'), 2)
+    x2 = _up_conv_ps(u['conv'], x2, cfg, act)
 
     u = p['up1']
     x1 = _cvblock_apply(u['cv'], x1, cfg, act, True,
                         (next_shift(), next_shift()) if shift_fns else None,
                         x_add=x2)
-    x1 = pixel_shuffle(_plain_conv_act(u['conv'], None, x1, cfg, act,
-                                       act_name='none'), 2)
+    x1 = _up_conv_ps(u['conv'], x1, cfg, act)
 
     o = p['outc']
     y = _plain_conv_act(o['c1'], o['n1'], x0 + x1, cfg, act)

@@ -62,6 +62,20 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
     return None
 
 
+
+def _epilogue(o_ref, a, act, ps_out=False):
+    """Write the (bh, w, cout) fp32 accumulator (bias/act already applied).
+
+    NOTE: an in-kernel r=2 pixel-shuffle write (``ps_out``) was built and
+    measured in round 3 but REMOVED: the shuffle's lane->sublane data
+    movement has no Mosaic lowering (stride-4 lane gathers, lane-split
+    reshapes and sublane-adjacent stacks all fail to compile on the real
+    chip; interpret mode accepted them). Up-path convs keep the XLA
+    transpose."""
+    del ps_out
+    o_ref[...] = a.astype(o_ref.dtype)[None]
+
+
 def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
     xs = refs[:n_in]
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
@@ -184,7 +198,7 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    o_ref[...] = a.astype(o_ref.dtype)[None]
+    _epilogue(o_ref, a, act)
 
 
 def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1):
@@ -268,7 +282,7 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1):
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    o_ref[...] = a.astype(o_ref.dtype)[None]
+    _epilogue(o_ref, a, act)
 
 
 def fold_width_weights(w, b):
@@ -356,12 +370,13 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     nring = _ring_size(shift)
 
     flops = 2 * 9 * c * cout * h * w_ * nt
+    oblock, oshape = (1, bh, w_, cout), (nt, h, w_, cout)
     common = dict(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in + [
             pl.BlockSpec(memory_space=pltpu.VMEM),    # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),    # bias
         ],
-        out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(oshape, x.dtype),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=x.size * 2 * 2 * n_in,
                                       transcendentals=0),
@@ -375,7 +390,7 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
         return pl.pallas_call(
             kern,
             grid=(nhb,),
-            out_specs=pl.BlockSpec((1, bh, w_, cout),
+            out_specs=pl.BlockSpec(oblock,
                                    lambda hb: (0, hb, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -394,7 +409,7 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     return pl.pallas_call(
         kern,
         grid=(nhb, nt),
-        out_specs=pl.BlockSpec((1, bh, w_, cout),
+        out_specs=pl.BlockSpec(oblock,
                                lambda hb, t: (t, hb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

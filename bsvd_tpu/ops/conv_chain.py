@@ -1,0 +1,285 @@
+"""Pallas TPU kernel: TWO chained 3x3 convs (conv1+act1 -> conv2+act2) in
+one pass — the intermediate NEVER touches HBM.
+
+Sites: the WNet inc pair (c1 -> c2) and outc pair (c1 -> c2, with the
+skip-add fused into conv1's input). Chaining classically costs halo
+recompute; this kernel avoids it entirely with a ROLLING intermediate:
+
+- the grid is (nt, nhb + 1) with the row-block axis MINOR, so consecutive
+  steps walk consecutive row blocks of one frame;
+- step (t, hb) runs conv1 on row block hb (bh fresh rows into a 3-slot
+  VMEM intermediate ring) and conv2 on row block hb-1, whose +-1-row halo
+  is already present in the neighbouring ring slots;
+- one drain step per frame (hb == nhb) finishes the last conv2 block.
+
+Zero redundant FLOPs, one DMA stream (double-buffered input tiles), fp32
+accumulation in both convs, bias+act fused.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COL0 = 8          # data column offset inside the input tile
+
+
+def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1,
+                   vmem_budget=15 * 1024 * 1024):
+    c_pad = -(-c // 128) * 128
+    c1_pad = -(-c1 // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
+                     reverse=True):
+        tile = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
+        interm = 3 * bh * (w + 2) * c1_pad * itemsize
+        acc = bh * w * (c1_pad + cout_pad) * 4
+        out = 2 * bh * w * cout_pad * itemsize
+        wts = 9 * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
+        total = int(2 * n_in * tile + 2.0 * tile) + interm + 2 * acc + out + wts
+        if total <= vmem_budget and bh * w >= 512:
+            return bh
+    return None
+
+
+def _dots9(tile, w_ref, b_ref, bh, w, col0, act):
+    a = jnp.zeros((bh, w, w_ref.shape[-1]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = tile[ky:ky + bh, col0 - 1 + kx:col0 - 1 + kx + w, :]
+            a = a + lax.dot_general(
+                patch, w_ref[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    a = a + b_ref[...].astype(jnp.float32)
+    if act == 'relu':
+        a = jnp.maximum(a, 0)
+    elif act == 'relu6':
+        a = jnp.clip(a, 0, 6)
+    return a
+
+
+def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in):
+    xs = refs[:n_in]
+    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems, interm = refs[n_in:]
+    t = pl.program_id(0)
+    hb = pl.program_id(1)
+    nhb = pl.num_programs(1) - 1
+    wp = w + 2 * _COL0
+    k = t * nhb + hb                      # global tile counter (hb < nhb)
+
+    def tile_dmas(kk, slot):
+        tt = kk // nhb
+        row0 = (kk % nhb) * bh
+        out = []
+        for i, x_hbm in enumerate(xs):
+            src = x_hbm.at[tt]
+            dst = ring.at[slot, i]
+            out += [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(row0, bh), :, :],
+                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 0]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
+                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 1]),
+                pltpu.make_async_copy(
+                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
+                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
+                    sems.at[slot, i, 2]),
+            ]
+        return out
+
+    def start(kk):
+        for d in tile_dmas(kk, kk % 2):
+            d.start()
+
+    # ---- conv1 for row block hb ----
+    @pl.when(hb < nhb)
+    def _():
+        @pl.when(k == 0)
+        def _():
+            start(0)
+
+        @pl.when(k + 1 < nt * nhb)
+        def _():
+            start(k + 1)
+
+        slot = k % 2
+        for d in tile_dmas(k, slot):
+            d.wait()
+        for i in range(n_in):
+            @pl.when(hb == 0)
+            def _(i=i):
+                ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
+
+            @pl.when(hb == nhb - 1)
+            def _(i=i):
+                ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c),
+                                                         ring.dtype)
+            ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
+                                                          ring.dtype)
+            ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros(
+                (bh + 2, 1, c), ring.dtype)
+
+        tile = ring[slot, 0]
+        for i in range(1, n_in):
+            tile = tile + ring[slot, i]
+        a1 = _dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act1)
+        islot = hb % 3
+        interm[islot, :, 1:w + 1, :] = a1.astype(interm.dtype)
+        interm[islot, :, 0:1, :] = jnp.zeros((bh, 1, c1), interm.dtype)
+        interm[islot, :, w + 1:w + 2, :] = jnp.zeros((bh, 1, c1),
+                                                     interm.dtype)
+
+    # ---- conv2 for row block hb - 1 ----
+    @pl.when(hb > 0)
+    def _():
+        ob = hb - 1
+        top = interm[(hb + 1) % 3, bh - 1:bh]          # == (hb-2) % 3
+        top = jnp.where(ob > 0, top, jnp.zeros_like(top))
+        mid = interm[(hb + 2) % 3]                     # == (hb-1) % 3
+        bot = interm[hb % 3, 0:1]
+        bot = jnp.where(hb < nhb, bot, jnp.zeros_like(bot))
+        itile = jnp.concatenate([top, mid, bot], axis=0)   # (bh+2, w+2, c1)
+        a2 = _dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
+        o_ref[...] = a2.astype(o_ref.dtype)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('act1', 'act2', 'bh', 'interpret'))
+def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, *, act1='relu6',
+                      act2='none', bh=None, interpret=False):
+    """Chained 3x3 convs: act2(conv2(act1(conv1(x (+x2))))), one kernel.
+
+    Args:
+        x: (NT, H, W, C); x2: optional second addend for conv1's input.
+        w1: (3, 3, C, C1); w2: (3, 3, C1, Cout). C, C1 multiples of 128.
+    Returns:
+        (NT, H, W, Cout) in x.dtype.
+    """
+    nt, h, w_, c = x.shape
+    c1 = w1.shape[-1]
+    cout = w2.shape[-1]
+    xs = (x,) if x2 is None else (x, x2)
+    n_in = len(xs)
+    if bh is None:
+        bh = _pick_bh_chain(h, w_, c, c1, cout, jnp.dtype(x.dtype).itemsize,
+                            n_in)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+
+    kern = functools.partial(_kernel_chain, nt=nt, bh=bh, h=h, w=w_, c=c,
+                             c1=c1, cout=cout, act1=act1, act2=act2,
+                             n_in=n_in)
+    return pl.pallas_call(
+        kern,
+        grid=(nt, nhb + 1),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, bh, w_, cout),
+            lambda t, hb: (t, jnp.maximum(hb - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, n_in, 3)),
+            pltpu.VMEM((3, bh, w_ + 2, c1), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * (c * c1 + c1 * cout) * h * w_ * nt,
+            bytes_accessed=x.size * 2 * 2 * n_in,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(*xs, w1, b1.reshape(1, c1), w2, b2.reshape(1, cout))
+
+
+def _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=None):
+    """XLA composite oracle / backward."""
+    def site(v, w, b, act):
+        y = lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(v.dtype)
+        if act == 'relu':
+            return jnp.maximum(y, 0)
+        if act == 'relu6':
+            return jnp.clip(y, 0, jnp.asarray(6, y.dtype))
+        return y
+    v = x if x2 is None else x + x2
+    return site(site(v, w1, b1, act1).astype(x.dtype), w2, b2, act2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv_chain(x, w1, b1, w2, b2, act1='relu6', act2='none'):
+    """Differentiable chained convs: Pallas forward, XLA composite
+    backward (recomputes the cheap intermediate)."""
+    return conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2)
+
+
+def _cc_fwd(x, w1, b1, w2, b2, act1, act2):
+    y = conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2)
+    return y, (x, w1, b1, w2, b2)
+
+
+def _cc_bwd(act1, act2, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
+                                                  act1, act2),
+        x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+conv_chain.defvjp(_cc_fwd, _cc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def conv_chain_add2(x, x2, w1, b1, w2, b2, act1='relu6', act2='none'):
+    """Chained convs of (x + x2) — outc's skip-add + c1 + c2 in one kernel."""
+    return conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2)
+
+
+def _cca_fwd(x, x2, w1, b1, w2, b2, act1, act2):
+    y = conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2)
+    return y, (x, x2, w1, b1, w2, b2)
+
+
+def _cca_bwd(act1, act2, res, g):
+    x, x2, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
+                                                  act1, act2, x2=x2),
+        x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    return dx, dx, dw1, db1, dw2, db2
+
+
+conv_chain_add2.defvjp(_cca_fwd, _cca_bwd)
+
+
+def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1):
+    """Whether the chained kernel applies on this backend/shape."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    c1 = w1_shape[-1]
+    if w1_shape[:2] != (3, 3) or w2_shape[:2] != (3, 3):
+        return False
+    if c % 128 != 0 or c1 % 128 != 0:
+        return False
+    return _pick_bh_chain(h, w_, c, c1, w2_shape[-1],
+                          jnp.dtype(dtype).itemsize, n_in) is not None

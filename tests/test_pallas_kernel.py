@@ -268,3 +268,50 @@ def test_conv3x3_add2_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('case', ['nt3', 'nt1', 'add2', 'relu_both'])
+def test_conv_chain_interpret_matches_xla(case):
+    """Rolling-intermediate chained-conv kernel (ops/conv_chain)."""
+    from bsvd_tpu.ops.conv_chain import _chain_xla, conv_chain_pallas
+    rng = np.random.default_rng(41)
+    nt = 1 if case == 'nt1' else 3
+    act2 = 'relu6' if case == 'relu_both' else 'none'
+    NT, H, W, C, C1, CO = nt, 12, 16, 16, 24, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    x2 = (jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+          if case == 'add2' else None)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C1)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C1, CO)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _chain_xla(x, w1, b1, w2, b2, 'relu6', act2, x2=x2)
+    for bh in (3, 4, 6, 12):
+        got = conv_chain_pallas(x, w1, b1, w2, b2, x2, act1='relu6',
+                                act2=act2, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_conv_chain_gradients():
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from bsvd_tpu.ops.conv_chain import _chain_xla, conv_chain
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 16)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_chain(*a) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(_chain_xla(x, w1, b1, w2, b2, 'relu6', 'none') ** 2)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
