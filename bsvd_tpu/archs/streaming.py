@@ -53,10 +53,18 @@ def _conv_act_fused(conv_p, norm, norm_p, act, x, act_name):
 
 def _bibuffer_init(n, h, w, c, fold_div, dtype, causal=False):
     fold = c // fold_div
-    width = 2 * fold if causal else fold
+    if causal:
+        return {
+            'left': jnp.zeros((n, h, w, 2 * fold), dtype),
+            'has_center': jnp.zeros((), jnp.bool_),
+        }
+    # PACKED bidirectional state: [left, center[f:]] — center[:f] is never
+    # read by the step, so the pack is lossless and exactly C lanes. Both
+    # the conv input and the next state are pure lane slices of (x, B),
+    # which lets the steady-state path fuse the whole step into ONE kernel
+    # (ops/bibuffer_conv).
     return {
-        'left': jnp.zeros((n, h, w, width), dtype),
-        'center': jnp.zeros((n, h, w, c), dtype),
+        'packed': jnp.zeros((n, h, w, c), dtype),
         'has_center': jnp.zeros((), jnp.bool_),
     }
 
@@ -87,7 +95,7 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
     ``valid`` and ``state['has_center']`` may be traced bools (scan path) or
     static Python bools (client path — compiles mask-free).
     """
-    c = state['center'].shape[-1]
+    c = x.shape[-1]
     fold = c // fold_div
     can_compute = True if assume_filled else state['has_center']
     xz = _sel(valid, x, jnp.zeros_like(x))
@@ -97,28 +105,41 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
         inp = jnp.concatenate([state['left'], xz[..., 2 * fold:]], axis=-1)
         out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
         new_left = _sel(valid, x[..., :2 * fold], state['left'])
-        new_state = {'left': new_left, 'center': state['center'],
-                     'has_center': state['has_center']}
+        new_state = {'left': new_left, 'has_center': state['has_center']}
         return new_state, out, valid
+
+    B = state['packed']                      # [left, center[f:]]
+    if (_is_true(valid) and assume_filled and norm == 'none'
+            and act_name in ('relu', 'relu6', 'none') and 'b' in conv_p):
+        # steady-state client path: the whole step is ONE fused kernel —
+        # input assembly, 9 MXU dots, act, and the next packed state
+        from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
+                                                bibuffer_conv_supported)
+        if bibuffer_conv_supported(x.shape, conv_p['w'].shape, x.dtype):
+            out, new_b = bibuffer_conv_pallas(x, B, conv_p['w'], conv_p['b'],
+                                              fold_div=fold_div,
+                                              act=act_name)
+            return ({'packed': new_b,
+                     'has_center': state['has_center']}, out, True)
 
     inp = jnp.concatenate([
         xz[..., :fold],                      # future slice from the live frame
-        state['left'],                       # past slice (frame t-2)
-        state['center'][..., 2 * fold:],     # current frame (t-1) body
+        B[..., :fold],                       # past slice (frame t-2)
+        B[..., 2 * fold:],                   # current frame (t-1) body
     ], axis=-1)
     out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
     out_valid = can_compute
 
-    new_left = _sel(can_compute,
-                    state['center'][..., fold:2 * fold], state['left'])
-    new_center = _sel(valid, x, state['center'])
+    new_b = jnp.concatenate([
+        _sel(can_compute, B[..., fold:2 * fold], B[..., :fold]),
+        _sel(valid, x[..., fold:], B[..., fold:]),
+    ], axis=-1)
     if isinstance(can_compute, bool) and isinstance(valid, bool):
         new_has_center = jnp.full((), valid if can_compute else (can_compute or valid))
     else:
         new_has_center = jnp.where(can_compute, valid,
                                    jnp.logical_or(state['has_center'], valid))
-    return ({'left': new_left, 'center': new_center,
-             'has_center': new_has_center}, out, out_valid)
+    return ({'packed': new_b, 'has_center': new_has_center}, out, out_valid)
 
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,24 @@ def test_conv_chain_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('act', ['relu6', 'none'])
+def test_bibuffer_conv_interpret(act):
+    """Fused streaming BiBufferConv step (ops/bibuffer_conv): conv on the
+    packed-state assembly + next packed state, vs the XLA composite."""
+    from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
+                                            bibuffer_conv_reference)
+    rng = np.random.default_rng(51)
+    H, W, C, CO = 12, 16, 16, 24
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    st = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ry, rs = bibuffer_conv_reference(x, st, w, b, act=act)
+    for bh in (3, 4, 6):
+        gy, gs = bibuffer_conv_pallas(x, st, w, b, act=act, bh=bh,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))

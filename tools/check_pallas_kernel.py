@@ -42,3 +42,30 @@ b64 = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
 ref = _conv3x3_xla(x64, w64, b64, 'relu6')
 got = conv3x3_pallas(x64, w64, b64, shift='none', act='relu6')
 print('width-folded C=64 max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+# NT=1 row-block variant (streaming path)
+x1f = jnp.asarray(rng.standard_normal((1, 30, 64, 128)), jnp.float32)
+ref = _conv3x3_xla(x1f, w, b, 'relu6')
+got = conv3x3_pallas(x1f, w, b, shift='none', act='relu6')
+print('NT=1 row-block max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+# fused second input (skip-add)
+x1g = jnp.asarray(rng.standard_normal((1, 30, 64, 128)), jnp.float32)
+ref = _conv3x3_xla(x1f + x1g, w, b, 'relu6')
+got = conv3x3_pallas(x1f, w, b, x1g, shift='none', act='relu6')
+print('fused-add max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+# folded stride-2 down kernel
+from bsvd_tpu.ops.conv_s2 import _conv_s2_xla, conv_s2_pallas
+ws2 = jnp.asarray(rng.standard_normal((3, 2, 128, 128)) * 0.05, jnp.float32)
+ref = _conv_s2_xla(x, ws2, b, 'relu6')
+got = conv_s2_pallas(x, ws2, b, act='relu6')
+print('stride-2 max diff:', float(jnp.max(jnp.abs(got - ref))))
+
+# rolling-intermediate chained pair
+from bsvd_tpu.ops.conv_chain import _chain_xla, conv_chain_pallas
+w2c = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+b2c = jnp.asarray(rng.standard_normal(128) * 0.1, jnp.float32)
+ref = _chain_xla(x, w, b, w2c, b2c, 'relu6', 'none')
+got = conv_chain_pallas(x, w, b, w2c, b2c, act1='relu6', act2='none')
+print('chain max diff:', float(jnp.max(jnp.abs(got - ref))))

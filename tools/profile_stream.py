@@ -56,7 +56,7 @@ def main():
     for _ in range(sd.latency + 3):
         sd.push(frame)
     ssum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
-    float(ssum(sd.state[0]['down0'][0]['center']))
+    float(ssum(jax.tree.leaves(sd.state[0]['down0'][0])[1]))
     best = float('inf')
     for _ in range(3):
         k = 20
