@@ -53,9 +53,12 @@ def _conv_act_fused(conv_p, norm, norm_p, act, x, act_name):
 
 def _bibuffer_init(n, h, w, c, fold_div, dtype, causal=False):
     fold = c // fold_div
+    del fold
     if causal:
+        # causal state = previous frame, C-lane wide (only [:2f] is read;
+        # full width keeps the fused kernel's DMA at 128-lane granularity)
         return {
-            'left': jnp.zeros((n, h, w, 2 * fold), dtype),
+            'packed': jnp.zeros((n, h, w, c), dtype),
             'has_center': jnp.zeros((), jnp.bool_),
         }
     # PACKED bidirectional state: [left, center[f:]] — center[:f] is never
@@ -102,11 +105,23 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
 
     if causal:
         # out_t = conv([x_{t-1}[:2f], x_t[2f:]]) — operate on the live frame.
-        inp = jnp.concatenate([state['left'], xz[..., 2 * fold:]], axis=-1)
+        B = state['packed']
+        if (_is_true(valid) and norm == 'none'
+                and act_name in ('relu', 'relu6', 'none') and 'b' in conv_p):
+            from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
+                                                    bibuffer_conv_supported)
+            if bibuffer_conv_supported(x.shape, conv_p['w'].shape, x.dtype):
+                out, new_b = bibuffer_conv_pallas(
+                    x, B, conv_p['w'], conv_p['b'], fold_div=fold_div,
+                    act=act_name, causal=True)
+                return ({'packed': new_b,
+                         'has_center': state['has_center']}, out, True)
+        inp = jnp.concatenate([B[..., :2 * fold], xz[..., 2 * fold:]],
+                              axis=-1)
         out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
-        new_left = _sel(valid, x[..., :2 * fold], state['left'])
-        new_state = {'left': new_left, 'has_center': state['has_center']}
-        return new_state, out, valid
+        new_b = _sel(valid, x, B)
+        return ({'packed': new_b,
+                 'has_center': state['has_center']}, out, valid)
 
     B = state['packed']                      # [left, center[f:]]
     if (_is_true(valid) and assume_filled and norm == 'none'

@@ -42,7 +42,7 @@ def _pick_bh(h, w, c, cout, itemsize=2, vmem_budget=15 * 1024 * 1024):
 
 
 def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
-                  bh, h, w, c, cout, fold, act):
+                  bh, h, w, c, cout, fold, act, causal=False):
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
     wp = w + 2 * _COL0
@@ -99,8 +99,13 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
 
     xt = ring[slot, 0]
     st = ring[slot, 1]
-    tile = jnp.concatenate([xt[:, :, :fold], st[:, :, :fold],
-                            st[:, :, 2 * fold:]], axis=-1)
+    if causal:
+        # inp = [left (2f), x[2f:]]; state carries left padded to C lanes
+        tile = jnp.concatenate([st[:, :, :2 * fold], xt[:, :, 2 * fold:]],
+                               axis=-1)
+    else:
+        tile = jnp.concatenate([xt[:, :, :fold], st[:, :, :fold],
+                                st[:, :, 2 * fold:]], axis=-1)
     a = jnp.zeros((bh, w, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
@@ -115,15 +120,21 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
     y_ref[...] = a.astype(y_ref.dtype)[None]
-    bn_ref[...] = jnp.concatenate(
-        [st[1:bh + 1, _COL0:_COL0 + w, fold:2 * fold],
-         xt[1:bh + 1, _COL0:_COL0 + w, fold:]], axis=-1)[None]
+    if causal:
+        # next left = x[:2f] (kept C-lane padded; tail lanes are don't-care
+        # but must be deterministic — carry x through)
+        bn_ref[...] = xt[1:bh + 1, _COL0:_COL0 + w, :][None]
+    else:
+        bn_ref[...] = jnp.concatenate(
+            [st[1:bh + 1, _COL0:_COL0 + w, fold:2 * fold],
+             xt[1:bh + 1, _COL0:_COL0 + w, fold:]], axis=-1)[None]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('fold_div', 'act', 'bh', 'interpret'))
+                   static_argnames=('fold_div', 'act', 'bh', 'causal',
+                                    'interpret'))
 def bibuffer_conv_pallas(x, state, w, b, *, fold_div=8, act='relu6', bh=None,
-                         interpret=False):
+                         causal=False, interpret=False):
     """One fused streaming BiBufferConv step (steady state, NT=1).
 
     Args:
@@ -144,7 +155,7 @@ def bibuffer_conv_pallas(x, state, w, b, *, fold_div=8, act='relu6', bh=None,
     nhb = h // bh
 
     kern = functools.partial(_kernel_bibuf, bh=bh, h=h, w=w_, c=c, cout=cout,
-                             fold=fold, act=act)
+                             fold=fold, act=act, causal=causal)
     return pl.pallas_call(
         kern,
         grid=(nhb,),
@@ -177,12 +188,17 @@ def bibuffer_conv_pallas(x, state, w, b, *, fold_div=8, act='relu6', bh=None,
     )(x, state, w, b.reshape(1, cout))
 
 
-def bibuffer_conv_reference(x, state, w, b, fold_div=8, act='relu6'):
+def bibuffer_conv_reference(x, state, w, b, fold_div=8, act='relu6',
+                            causal=False):
     """XLA composite with identical semantics (oracle + CPU fallback)."""
     c = x.shape[-1]
     fold = c // fold_div
-    inp = jnp.concatenate([x[..., :fold], state[..., :fold],
-                           state[..., 2 * fold:]], axis=-1)
+    if causal:
+        inp = jnp.concatenate([state[..., :2 * fold], x[..., 2 * fold:]],
+                              axis=-1)
+    else:
+        inp = jnp.concatenate([x[..., :fold], state[..., :fold],
+                               state[..., 2 * fold:]], axis=-1)
     y = lax.conv_general_dilated(inp, w, (1, 1), [(1, 1), (1, 1)],
                                  dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     y = y + b.astype(y.dtype)
@@ -190,8 +206,11 @@ def bibuffer_conv_reference(x, state, w, b, fold_div=8, act='relu6'):
         y = jnp.maximum(y, 0)
     elif act == 'relu6':
         y = jnp.clip(y, 0, jnp.asarray(6, y.dtype))
-    new_state = jnp.concatenate([state[..., fold:2 * fold], x[..., fold:]],
-                                axis=-1)
+    if causal:
+        new_state = x
+    else:
+        new_state = jnp.concatenate([state[..., fold:2 * fold],
+                                     x[..., fold:]], axis=-1)
     return y, new_state
 
 

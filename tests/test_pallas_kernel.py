@@ -336,3 +336,20 @@ def test_bibuffer_conv_interpret(act):
         np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
                                    rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
         np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
+
+
+def test_bibuffer_conv_causal_interpret():
+    from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
+                                            bibuffer_conv_reference)
+    rng = np.random.default_rng(52)
+    H, W, C, CO = 8, 16, 16, 16
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    st = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ry, rs = bibuffer_conv_reference(x, st, w, b, act='relu6', causal=True)
+    gy, gs = bibuffer_conv_pallas(x, st, w, b, act='relu6', bh=4,
+                                  causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
