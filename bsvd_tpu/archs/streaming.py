@@ -20,6 +20,7 @@ The low-latency frame-by-frame client API is ``StreamDenoiser``.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from bsvd_tpu.nn.layers import conv2d, get_act, norm_apply, pixel_shuffle
@@ -431,9 +432,14 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
         y = conv2d(o['c2'], y)
 
     new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
+    # residual combine as one fused elementwise pass (lane select instead
+    # of sub-128-lane slice+concat; see wnet_arch._stage_apply_folded)
     rc = cfg.residual_ch
-    res = sk1.astype(y.dtype) - y[..., :rc]
-    out = jnp.concatenate([res, y[..., rc:]], axis=-1)
+    s_out = y.shape[-1]
+    skpad = jnp.pad(sk1.astype(y.dtype),
+                    [(0, 0)] * 3 + [(0, s_out - sk1.shape[-1])])
+    lane_is_res = jnp.asarray(np.arange(s_out) < rc)
+    out = jnp.where(lane_is_res, skpad - y, y)
     return new_st, out, v1u
 
 

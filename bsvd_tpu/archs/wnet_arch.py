@@ -35,6 +35,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bsvd_tpu.nn.layers import conv2d, conv_init, get_act, get_norm, norm_apply, norm_init
 from bsvd_tpu.nn.shift import temporal_shift, temporal_shift_chunk
@@ -393,17 +394,18 @@ def _stage_apply_folded(p, x, cfg, act):
     o = p['outc']
     y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
 
-    # residual on the first residual_ch channels, in the folded domain
+    # residual on the first residual_ch channels, in the folded domain —
+    # as ONE fused elementwise pass: pad the input's per-half channels up
+    # to the output's, then select per lane (sub-128-lane slicing+concat
+    # at full resolution measured 9.7 ms/fwd on TPU)
     rc = cfg.residual_ch
     s_out = y.shape[-1] // 2
-    res = (_slice_folded_channels(xf, in_ch, 0, rc)
-           - _slice_folded_channels(y, s_out, 0, rc))
-    rest = _slice_folded_channels(y, s_out, rc, s_out)
     n, t, h, wf, _ = y.shape
-    out_f = jnp.concatenate(
-        [res.reshape(n, t, h, wf, 2, rc),
-         rest.reshape(n, t, h, wf, 2, s_out - rc)],
-        axis=-1).reshape(n, t, h, wf, 2 * s_out)
+    xr = xf.reshape(n, t, h, wf, 2, in_ch)[..., :rc]
+    xpad = jnp.pad(xr, [(0, 0)] * 5 + [(0, s_out - rc)])
+    xpad = xpad.reshape(n, t, h, wf, 2 * s_out)
+    lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
+    out_f = jnp.where(lane_is_res, xpad - y, y)
     return _unfold2(out_f)
 
 

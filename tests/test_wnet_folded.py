@@ -42,6 +42,22 @@ def test_folded_stage_matches_plain_c64():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_folded_stage_matches_plain_stage1():
+    """The SECOND stage's shape (in_ch = mid_ch > out_ch): exercises the
+    residual lane-select with rc < in_ch and s_out == out_ch — the case
+    that broke the first pad-based residual (negative pad)."""
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(3), cfg)
+    act = get_act(cfg.act)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 16, 24, cfg.mid_ch)),
+                    jnp.float32)
+    ref = _stage_apply(params['stage1'], x, cfg, act)
+    got = _stage_apply_folded(params['stage1'], x, cfg, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_folded_stage_matches_plain_causal_and_blind():
     cfg = _cfg(shift_mode='TSM_toFutureOnly', blind=True)
     params = wnet_init(jax.random.PRNGKey(2), cfg)
