@@ -27,7 +27,10 @@ def _bench_mimo(jax, jnp, params, cfg, wnet_apply):
     # Chainable forward (output re-shaped to input) so repeated calls form a
     # device-side dependency chain: on backends where block_until_ready is
     # unreliable (remote-tunnel TPU), K chained calls + one scalar readback
-    # still measure true execution time.
+    # still measure true execution time. The chain concat + readback add
+    # <1 ms per iteration (trivial-model floor ~0.9 ms/call, PERF.md
+    # "Measurement methodology"), so the reported numbers are slightly
+    # conservative (~4% at current speed).
     def chain_fwd(p, x):
         y = wnet_apply(p, x, cfg)
         return jnp.concatenate([y, x[..., 3:]], axis=-1)
