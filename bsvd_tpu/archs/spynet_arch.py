@@ -54,7 +54,10 @@ def spynet_process(params, ref, supp):
         supps.insert(0, _avg_pool2(supps[0]))
 
     n, h0, w0, _ = refs[0].shape
-    flow = jnp.zeros((n, h0 // 2, w0 // 2, 2), ref.dtype)
+    # clamp the coarsest init to >=1 px: the reference crashes below 64-px
+    # inputs (its h0//2 hits zero); clamping keeps small inputs working
+    # with identical numerics everywhere the reference runs
+    flow = jnp.zeros((n, max(h0 // 2, 1), max(w0 // 2, 1), 2), ref.dtype)
     for level in range(6):
         h, w = refs[level].shape[1:3]
         up = interpolate_bilinear(flow, h, w, align_corners=True) * 2.0

@@ -14,8 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_sharded_train_step(mesh, seed=0):
-    """One sharded train step over ``mesh``; returns the scalar pixel loss."""
+def run_sharded_train_step(mesh, seed=0, cfg=None):
+    """One sharded train step over ``mesh``; returns the scalar pixel loss.
+    ``cfg`` defaults to the flagship BSVD-c64 config."""
     import optax
     from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_init
     from bsvd_tpu.models.denoising_model import make_train_step
@@ -23,8 +24,9 @@ def run_sharded_train_step(mesh, seed=0):
     from bsvd_tpu.losses import MSELoss
     from bsvd_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-    cfg = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
-                     norm='none', act='relu6', shift_mode='TSM')
+    if cfg is None:
+        cfg = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
+                         norm='none', act='relu6', shift_mode='TSM')
     params = wnet_init(jax.random.PRNGKey(seed), cfg)
     schedule = multi_step_restart_lr(1e-3, [50_000], 0.7)
     tx = optax.adam(schedule, b1=0.9, b2=0.99)

@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compile cache (workers don't run tests/conftest.py)
+try:
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/tmp/bsvd_tpu_test_jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+except Exception:
+    pass
 
 from bsvd_tpu.parallel.mesh import init_distributed, make_mesh
 from bsvd_tpu.parallel.dryrun import run_sharded_train_step
@@ -35,7 +44,13 @@ assert pid == proc_id and pcount == nprocs, (pid, pcount)
 assert len(jax.devices()) == 4 * nprocs, jax.devices()
 assert len(jax.local_devices()) == 4
 
+from bsvd_tpu.archs.wnet_arch import WNetConfig
+
 mesh = make_mesh(spatial=2)
-loss = run_sharded_train_step(mesh)
+# a small net keeps the 2-process CPU compile affordable; the sharding
+# machinery being validated is config-independent
+cfg = WNetConfig(chns=(16, 32, 64), mid_ch=16, interm_ch=16,
+                 norm='none', act='relu6', shift_mode='TSM')
+loss = run_sharded_train_step(mesh, cfg=cfg)
 print(f'multihost worker {pid}/{pcount} ok: mesh={dict(mesh.shape)} '
       f'l_pix={loss:.4f}', flush=True)

@@ -47,10 +47,10 @@ def test_edvr_model_train_and_validate(tmp_path):
     for c in range(1):
         os.makedirs(gt_root / f'{c:03d}')
         os.makedirs(lq_root / f'{c:03d}')
-        for i, f in enumerate(make_clip(c, t=4, h=64, w=64)):
+        for i, f in enumerate(make_clip(c, t=4, h=32, w=32)):
             cv2.imwrite(str(gt_root / f'{c:03d}' / f'{i:08d}.png'),
                         cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-            lq = cv2.resize(f, (16, 16), interpolation=cv2.INTER_CUBIC)
+            lq = cv2.resize(f, (8, 8), interpolation=cv2.INTER_CUBIC)
             cv2.imwrite(str(lq_root / f'{c:03d}' / f'{i:08d}.png'),
                         cv2.cvtColor(lq, cv2.COLOR_RGB2BGR))
 
@@ -60,7 +60,7 @@ def test_edvr_model_train_and_validate(tmp_path):
         'name': 'edvr_smoke', 'model_type': 'EDVRModel', 'is_train': True,
         'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
         'network_g': {'type': 'EDVR', 'num_in_ch': 3, 'num_out_ch': 3,
-                      'num_feat': 16, 'num_frame': 3, 'deformable_groups': 2,
+                      'num_feat': 8, 'num_frame': 3, 'deformable_groups': 2,
                       'num_extract_block': 1, 'num_reconstruct_block': 1},
         'path': {'models': str(tmp_path / 'm'),
                  'training_states': str(tmp_path / 's'),
@@ -77,8 +77,8 @@ def test_edvr_model_train_and_validate(tmp_path):
     model = build_model(opt)
 
     rng = np.random.default_rng(0)
-    lq = rng.uniform(0, 1, (2, 3, 3, 16, 16)).astype(np.float32)
-    gt = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    lq = rng.uniform(0, 1, (1, 3, 3, 8, 8)).astype(np.float32)
+    gt = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
     pcd_before = np.asarray(jax.tree.leaves(model.params['pcd_align'])[0])
     for it in range(1, 4):
         model.feed_data({'lq': lq, 'gt': gt})

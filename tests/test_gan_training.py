@@ -166,7 +166,7 @@ def test_gan_gated_g_step_freezes_params_and_opt_state(tmp_path):
      {'type': 'EDVR', 'num_in_ch': 3, 'num_out_ch': 3, 'num_feat': 8,
       'num_frame': 3, 'deformable_groups': 2, 'num_extract_block': 1,
       'num_reconstruct_block': 1},
-     (1, 3, 3, 16, 16), (1, 3, 64, 64)),
+     (1, 3, 3, 8, 8), (1, 3, 32, 32)),
     ('VideoRecurrentGANModel',
      {'type': 'BasicVSR', 'num_feat': 8, 'num_block': 1},
      (1, 2, 3, 34, 34), (1, 2, 3, 136, 136)),

@@ -34,7 +34,7 @@ def test_two_process_mesh_train_step():
     outs = []
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

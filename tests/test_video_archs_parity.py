@@ -74,7 +74,7 @@ def test_basicvsr_parity():
     net = RefNet(num_feat=16, num_block=2, spynet_path=None).eval()
     params = _convert(net)
     rng = np.random.default_rng(3)
-    x = rng.uniform(0, 1, (1, 3, 3, 64, 64)).astype(np.float32)
+    x = rng.uniform(0, 1, (1, 5, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.from_numpy(x)).numpy()
     got = basicvsr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),

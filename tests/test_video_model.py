@@ -57,7 +57,7 @@ def test_video_recurrent_model(reds_data, tmp_path):
 
     train_opt = {'name': 'reds_train', 'type': 'REDSRecurrentDataset',
                  'dataroot_gt': gt_root, 'dataroot_lq': lq_root, 'scale': 4,
-                 'phase': 'train', 'gt_size': 136, 'num_frame': 2,
+                 'phase': 'train', 'gt_size': 64, 'num_frame': 2,
                  'manual_seed': 0}
     ds = build_dataset(train_opt)
     import jax
