@@ -22,8 +22,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_mesh_train_step():
+def _run_cluster():
     coord = f'127.0.0.1:{_free_port()}'
     env = {k: v for k, v in os.environ.items()
            if not k.startswith('BSVD_') and k != 'XLA_FLAGS'}
@@ -32,7 +31,7 @@ def test_two_process_mesh_train_step():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     outs = []
-    for i, p in enumerate(procs):
+    for p in procs:
         try:
             out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
@@ -40,6 +39,17 @@ def test_two_process_mesh_train_step():
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh_train_step():
+    # one retry: the coordinator handshake can time out under heavy CPU
+    # contention when the whole suite runs on a small host
+    for attempt in range(2):
+        procs, outs = _run_cluster()
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'multihost worker {i}/2 ok' in out, out
