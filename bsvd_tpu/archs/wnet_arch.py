@@ -193,11 +193,30 @@ def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
 
 def _up_conv_ps(conv_p, x, cfg, act):
     """Up-path conv + r=2 pixel shuffle (Pallas conv + XLA transpose; an
-    in-kernel shuffled write was tried and removed — the lane->sublane move
-    has no Mosaic lowering, see ops/conv3x3._epilogue)."""
+    in-kernel shuffled write in NATURAL layout has no Mosaic lowering, see
+    ops/conv3x3._epilogue — but the width-FOLDED shuffled write does:
+    _up_conv_psfold)."""
     from bsvd_tpu.nn.layers import pixel_shuffle
     return pixel_shuffle(_plain_conv_act(conv_p, None, x, cfg, act,
                                          act_name='none'), 2)
+
+
+def _up_conv_psfold(conv_p, x, cfg, act):
+    """Up-path conv + r=2 pixel shuffle, emitted directly in the
+    width-folded layout the full-res segment consumes: the fused Pallas
+    kernel (ops/conv3x3.conv_ps_fold) writes shuffled+folded rows as
+    tile-aligned lane slices, replacing three XLA relayout copies.
+    Returns fold2(pixel_shuffle(conv(x), 2))."""
+    n, t, h, w, c = x.shape
+    if cfg.use_fused and cfg.norm == 'none':
+        from bsvd_tpu.ops.conv3x3 import (conv_ps_fold,
+                                          conv_ps_fold_supported)
+        if conv_ps_fold_supported((n * t, h, w, c), conv_p['w'].shape,
+                                  x.dtype):
+            y = conv_ps_fold(x.reshape(n * t, h, w, c), conv_p['w'],
+                             conv_p['b'])
+            return y.reshape(n, t, 2 * h, w, y.shape[-1])
+    return _fold2(_up_conv_ps(conv_p, x, cfg, act))
 
 
 def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None):
@@ -388,22 +407,41 @@ def _stage_apply_folded(p, x, cfg, act):
 
     u = p['up1']
     x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2)
-    x1u = _up_conv_ps(u['conv'], x1, cfg, act)
-    x1uf = _fold2(x1u)    # free: same row-major buffer
+    x1uf = _up_conv_psfold(u['conv'], x1, cfg, act)
 
     o = p['outc']
-    y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
-
-    # residual on the first residual_ch channels, in the folded domain —
-    # as ONE fused elementwise pass: pad the input's per-half channels up
-    # to the output's, then select per lane (sub-128-lane slicing+concat
-    # at full resolution measured 9.7 ms/fwd on TPU)
     rc = cfg.residual_ch
-    s_out = y.shape[-1] // 2
-    n, t, h, wf, _ = y.shape
+    s_out = o['c2']['w'].shape[-1]
+    n, t, h, wf, _ = x0.shape
+
+    # residual source, padded per folded half to the output channel count
+    # (the pad is bandwidth-bound XLA; everything downstream fuses)
     xr = xf.reshape(n, t, h, wf, 2, in_ch)[..., :rc]
     xpad = jnp.pad(xr, [(0, 0)] * 5 + [(0, s_out - rc)])
     xpad = xpad.reshape(n, t, h, wf, 2 * s_out)
+
+    # outc c1+c2 + skip-add + residual combine as ONE kernel when the
+    # folded output is lane-aligned (ops/conv_chain.conv_chain_add2_res)
+    if cfg.use_fused and cfg.norm == 'none' and cfg.act in ('relu', 'relu6'):
+        from bsvd_tpu.ops.conv3x3 import fold_width_weights
+        from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
+                                             conv_chain_supported)
+        w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
+        w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
+        if conv_chain_supported((n * t, h, wf, x0.shape[-1]), w1.shape,
+                                w2.shape, x0.dtype, n_in=2, has_res=True):
+            y = conv_chain_add2_res(
+                x0.reshape(n * t, h, wf, x0.shape[-1]),
+                x1uf.reshape(n * t, h, wf, x1uf.shape[-1]),
+                xpad.reshape(n * t, h, wf, 2 * s_out),
+                w1, b1, w2, b2, cfg.act, 'none', rc)
+            return _unfold2(y.reshape(n, t, h, wf, 2 * s_out))
+
+    y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
+
+    # residual combine as ONE fused elementwise pass: select per lane on a
+    # static mask (sub-128-lane slicing+concat at full resolution measured
+    # 9.7 ms/fwd on TPU)
     lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
     out_f = jnp.where(lane_is_res, xpad - y, y)
     return _unfold2(out_f)

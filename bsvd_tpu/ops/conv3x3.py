@@ -63,20 +63,30 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
 
 
 
-def _epilogue(o_ref, a, act, ps_out=False):
+def _epilogue(o_ref, a, act, ps_half=None):
     """Write the (bh, w, cout) fp32 accumulator (bias/act already applied).
 
-    NOTE: an in-kernel r=2 pixel-shuffle write (``ps_out``) was built and
-    measured in round 3 but REMOVED: the shuffle's lane->sublane data
-    movement has no Mosaic lowering (stride-4 lane gathers, lane-split
-    reshapes and sublane-adjacent stacks all fail to compile on the real
-    chip; interpret mode accepted them). Up-path convs keep the XLA
-    transpose."""
-    del ps_out
-    o_ref[...] = a.astype(o_ref.dtype)[None]
+    ``ps_half``: pixel-shuffle-folded write — the conv's output channels
+    were pre-permuted (psfold_weights) to lane order di*2c + dj*c + k, so
+    the r=2-shuffled, width-folded output is TWO tile-aligned lane-slice
+    writes: out row 2i+di <- a[i, :, di*2c:(di+1)*2c]. The o_ref block is
+    (1, bh, 2, w, 2c) over an (nt, h, 2, w, 2c) array whose reshape to
+    (nt, 2h, w, 2c) is free (leading-dim merge above the sublane dim).
+
+    NOTE a direct in-kernel r=2 shuffle write (natural layout) was built in
+    round 3 and REMOVED: its (w, 2c) -> (2w, c) lane->sublane move has no
+    Mosaic lowering. The folded-output form sidesteps that entirely —
+    di rides the outer (row) axis and dj rides the lane axis, so only
+    tile-aligned slices remain."""
+    if ps_half is None:
+        o_ref[...] = a.astype(o_ref.dtype)[None]
+    else:
+        o_ref[0, :, 0] = a[:, :, :ps_half].astype(o_ref.dtype)
+        o_ref[0, :, 1] = a[:, :, ps_half:].astype(o_ref.dtype)
 
 
-def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
+def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
+            ps_half=None):
     xs = refs[:n_in]
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
     hb = pl.program_id(0)
@@ -198,10 +208,10 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1):
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, act)
+    _epilogue(o_ref, a, act, ps_half)
 
 
-def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1):
+def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
     """Single-frame (NT=1) variant: the ROW-BLOCK axis carries the software
     pipeline. grid=(nhb,); a 2-slot VMEM ring double-buffers row-block tiles
     so block hb+1's DMA overlaps block hb's 9 MXU dots (the frame-minor
@@ -282,7 +292,7 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1):
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, act)
+    _epilogue(o_ref, a, act, ps_half)
 
 
 def fold_width_weights(w, b):
@@ -510,6 +520,145 @@ def _c3a_bwd(act, res, g):
 
 
 conv3x3_add2.defvjp(_c3a_fwd, _c3a_bwd)
+
+
+def psfold_weights(w, b):
+    """Permute an r=2 up-conv's output channels from torch PixelShuffle
+    order (k*4 + di*2 + dj) to ps-fold lane order (di*2c + dj*c + k), so
+    that the shuffled+width-folded output row 2i+di is the contiguous lane
+    slice [di*2c, (di+1)*2c) of the conv result (see _epilogue ps_half)."""
+    kh, kw, cin, c4 = w.shape
+    c = c4 // 4
+    wp = w.reshape(kh, kw, cin, c, 2, 2).transpose(0, 1, 2, 4, 5, 3)
+    bp = b.reshape(c, 2, 2).transpose(1, 2, 0)
+    return wp.reshape(kh, kw, cin, c4), bp.reshape(c4)
+
+
+@functools.partial(jax.jit, static_argnames=('bh', 'interpret'))
+def conv_ps_fold_pallas(x, w, b, *, bh=None, interpret=False):
+    """Fused 3x3 conv + bias + r=2 pixel shuffle + width-fold, one kernel.
+
+    Equivalent to ``fold2(pixel_shuffle(conv(x) + b, 2))`` — the up-path
+    site whose XLA lowering costs three full-tensor relayout copies
+    (pre-shuffle layout copy, the 7-D shuffle transpose, and the re-fold
+    into the outc consumer; ~6.4 ms/stage on the 540p flagship trace).
+    Here the shuffle+fold is free: output rows carry di, lanes carry dj.
+
+    Args:
+        x: (NT, H, W, C), C multiple of 128.
+        w: (3, 3, C, 4*half) in torch PixelShuffle channel order; b: (4*half,).
+    Returns:
+        (NT, 2H, W, 2*half) in x.dtype — the width-folded view of the
+        shuffled (NT, 2H, 2W, half) output. 2*half must be a multiple
+        of 128.
+    """
+    nt, h, w_, c = x.shape
+    cout = w.shape[-1]
+    ps_half = cout // 2
+    wp, bp = psfold_weights(w, b)
+    if bh is None:
+        bh = _pick_bh(h, w_, c, cout, 'none', jnp.dtype(x.dtype).itemsize)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+
+    common = dict(
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((nt, h, 2, w_, ps_half), x.dtype),
+        cost_estimate=pl.CostEstimate(flops=2 * 9 * c * cout * h * w_ * nt,
+                                      bytes_accessed=x.size * 2 * 2,
+                                      transcendentals=0),
+        interpret=interpret,
+    )
+    oblock = (1, bh, 2, w_, ps_half)
+    if nt == 1:
+        kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c,
+                                 cout=cout, act='none', ps_half=ps_half)
+        y = pl.pallas_call(
+            kern,
+            grid=(nhb,),
+            out_specs=pl.BlockSpec(oblock, lambda hb: (0, hb, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 1, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            **common,
+        )(x, wp, bp.reshape(1, cout))
+    else:
+        kern = functools.partial(_kernel, nt=nt, t_len=nt, bh=bh, h=h, w=w_,
+                                 c=c, cout=cout, fold=c // 8, act='none',
+                                 shift='none', ps_half=ps_half)
+        y = pl.pallas_call(
+            kern,
+            grid=(nhb, nt),
+            out_specs=pl.BlockSpec(oblock, lambda hb, t: (t, hb, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 1, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary', 'arbitrary')),
+            **common,
+        )(x, wp, bp.reshape(1, cout))
+    return y.reshape(nt, 2 * h, w_, ps_half)
+
+
+def _conv_ps_fold_xla(x, w, b):
+    """XLA composite oracle/backward: conv + bias, r=2 shuffle, width-fold."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(x.dtype)
+    nt, h, w_, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(nt, h, w_, c, 2, 2)               # (k, di, dj)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))        # (nt, h, di, w, dj, k)
+    return y.reshape(nt, 2 * h, w_, 2 * c)
+
+
+@jax.custom_vjp
+def conv_ps_fold(x, w, b):
+    """Differentiable fused up-conv + pixel shuffle + width-fold (Pallas
+    forward on TPU, XLA composite backward)."""
+    return conv_ps_fold_pallas(x, w, b)
+
+
+def _cpf_fwd(x, w, b):
+    return conv_ps_fold_pallas(x, w, b), (x, w, b)
+
+
+def _cpf_bwd(res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_conv_ps_fold_xla, x, w, b)
+    return vjp(g)
+
+
+conv_ps_fold.defvjp(_cpf_fwd, _cpf_bwd)
+
+
+def conv_ps_fold_supported(x_shape, w_shape, dtype):
+    """Whether the fused ps-fold kernel applies on this backend/shape."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    cout = w_shape[-1]
+    if w_shape[:2] != (3, 3) or c % 128 != 0:
+        return False
+    if cout % 256 != 0:             # folded half must be lane-aligned
+        return False
+    return _pick_bh(h, w_, c, cout, 'none',
+                    jnp.dtype(dtype).itemsize) is not None
 
 
 def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _COL0 = 8          # data column offset inside the input tile
 
 
-def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1,
+def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
                    vmem_budget=15 * 1024 * 1024):
     c_pad = -(-c // 128) * 128
     c1_pad = -(-c1 // 128) * 128
@@ -39,7 +39,9 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1,
         acc = bh * w * (c1_pad + cout_pad) * 4
         out = 2 * bh * w * cout_pad * itemsize
         wts = 9 * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
-        total = int(2 * n_in * tile + 2.0 * tile) + interm + 2 * acc + out + wts
+        res = 2 * bh * w * cout_pad * itemsize if has_res else 0
+        total = (int(2 * n_in * tile + 2.0 * tile) + interm + 2 * acc + out
+                 + wts + res)
         if total <= vmem_budget and bh * w >= 512:
             return bh
     return None
@@ -62,14 +64,32 @@ def _dots9(tile, w_ref, b_ref, bh, w, col0, act):
     return a
 
 
-def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in):
+def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
+                  res_ch=None):
     xs = refs[:n_in]
-    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems, interm = refs[n_in:]
+    if res_ch is None:
+        x_res = res_ring = res_sems = None
+        (w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems,
+         interm) = refs[n_in:]
+    else:
+        (x_res, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems, interm,
+         res_ring, res_sems) = refs[n_in:]
     t = pl.program_id(0)
     hb = pl.program_id(1)
     nhb = pl.num_programs(1) - 1
     wp = w + 2 * _COL0
     k = t * nhb + hb                      # global tile counter (hb < nhb)
+
+    def res_dma(kk, slot):
+        """Residual-source tile for block kk (main rows only, no halo):
+        consumed one step later by conv2's epilogue, so a 2-slot ring gives
+        a full step of DMA/compute overlap."""
+        tt = kk // nhb
+        row0 = (kk % nhb) * bh
+        return pltpu.make_async_copy(
+            x_res.at[tt].at[pl.ds(row0, bh), :, :],
+            res_ring.at[slot],
+            res_sems.at[slot])
 
     def tile_dmas(kk, slot):
         tt = kk // nhb
@@ -109,6 +129,9 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in):
         def _():
             start(k + 1)
 
+        if res_ch is not None:
+            res_dma(k, k % 2).start()
+
         slot = k % 2
         for d in tile_dmas(k, slot):
             d.wait()
@@ -147,18 +170,32 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in):
         bot = jnp.where(hb < nhb, bot, jnp.zeros_like(bot))
         itile = jnp.concatenate([top, mid, bot], axis=0)   # (bh+2, w+2, c1)
         a2 = _dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
+        if res_ch is not None:
+            # per-stage residual fused into the epilogue: the first res_ch
+            # lanes of each folded half become x_res - y (reference
+            # wnet_models.py:181 ``in[:, :rc] - out``), selected by a
+            # static lane mask — no XLA select/pad/layout round trip.
+            ob_slot = (k - 1) % 2
+            res_dma(k - 1, ob_slot).wait()
+            rt = res_ring[ob_slot].astype(jnp.float32)
+            lane = lax.broadcasted_iota(jnp.int32, (bh, w, cout), 2)
+            a2 = jnp.where((lane % (cout // 2)) < res_ch, rt - a2, a2)
         o_ref[...] = a2.astype(o_ref.dtype)[None]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('act1', 'act2', 'bh', 'interpret'))
-def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, *, act1='relu6',
-                      act2='none', bh=None, interpret=False):
+                   static_argnames=('act1', 'act2', 'res_ch', 'bh',
+                                    'interpret'))
+def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
+                      act2='none', res_ch=None, bh=None, interpret=False):
     """Chained 3x3 convs: act2(conv2(act1(conv1(x (+x2))))), one kernel.
 
     Args:
         x: (NT, H, W, C); x2: optional second addend for conv1's input.
         w1: (3, 3, C, C1); w2: (3, 3, C1, Cout). C, C1 multiples of 128.
+        x_res: optional (NT, H, W, Cout) residual source; with ``res_ch``
+            set, output lanes l with l % (Cout/2) < res_ch become
+            x_res - y (the folded per-stage residual combine, fused).
     Returns:
         (NT, H, W, Cout) in x.dtype.
     """
@@ -167,31 +204,42 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, *, act1='relu6',
     cout = w2.shape[-1]
     xs = (x,) if x2 is None else (x, x2)
     n_in = len(xs)
+    has_res = res_ch is not None
+    if has_res:
+        assert x_res is not None and x_res.shape == (nt, h, w_, cout)
     if bh is None:
         bh = _pick_bh_chain(h, w_, c, c1, cout, jnp.dtype(x.dtype).itemsize,
-                            n_in)
+                            n_in, has_res)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
 
     kern = functools.partial(_kernel_chain, nt=nt, bh=bh, h=h, w=w_, c=c,
                              c1=c1, cout=cout, act1=act1, act2=act2,
-                             n_in=n_in)
+                             n_in=n_in, res_ch=res_ch)
+    scratch = [
+        pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+        pltpu.SemaphoreType.DMA((2, n_in, 3)),
+        pltpu.VMEM((3, bh, w_ + 2, c1), x.dtype),
+    ]
+    operands = list(xs)
+    if has_res:
+        operands.append(x_res)
+        scratch += [
+            pltpu.VMEM((2, bh, w_, cout), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     return pl.pallas_call(
         kern,
         grid=(nt, nhb + 1),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(operands) + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(
             (1, bh, w_, cout),
             lambda t, hb: (t, jnp.maximum(hb - 1, 0), 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
-            pltpu.SemaphoreType.DMA((2, n_in, 3)),
-            pltpu.VMEM((3, bh, w_ + 2, c1), x.dtype),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * (c * c1 + c1 * cout) * h * w_ * nt,
             bytes_accessed=x.size * 2 * 2 * n_in,
@@ -199,7 +247,7 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, *, act1='relu6',
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(*xs, w1, b1.reshape(1, c1), w2, b2.reshape(1, cout))
+    )(*operands, w1, b1.reshape(1, c1), w2, b2.reshape(1, cout))
 
 
 def _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=None):
@@ -265,7 +313,45 @@ def _cca_bwd(act1, act2, res, g):
 conv_chain_add2.defvjp(_cca_fwd, _cca_bwd)
 
 
-def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1):
+def _chain_res_xla(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch):
+    """XLA oracle for the residual-fused chain."""
+    y = _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=x2)
+    cout = y.shape[-1]
+    lane = jnp.arange(cout) % (cout // 2)
+    return jnp.where(lane < res_ch, x_res - y, y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def conv_chain_add2_res(x, x2, x_res, w1, b1, w2, b2, act1='relu6',
+                        act2='none', res_ch=3):
+    """outc's full folded epilogue in ONE kernel: skip-add + c1 + c2 +
+    the per-stage residual combine (lanes l%half < res_ch become
+    x_res - y). Replaces an XLA pad/select/layout-copy complex worth
+    ~8 ms on the 540p flagship trace."""
+    return conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
+                             act2=act2, res_ch=res_ch)
+
+
+def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch):
+    y = conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
+                          act2=act2, res_ch=res_ch)
+    return y, (x, x2, x_res, w1, b1, w2, b2)
+
+
+def _ccr_bwd(act1, act2, res_ch, res, g):
+    x, x2, x_res, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, x2_, xr_, w1_, b1_, w2_, b2_: _chain_res_xla(
+            x_, x2_, xr_, w1_, b1_, w2_, b2_, act1, act2, res_ch),
+        x, x2, x_res, w1, b1, w2, b2)
+    return vjp(g)
+
+
+conv_chain_add2_res.defvjp(_ccr_fwd, _ccr_bwd)
+
+
+def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1,
+                         has_res=False):
     """Whether the chained kernel applies on this backend/shape."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
@@ -281,5 +367,8 @@ def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1):
         return False
     if c % 128 != 0 or c1 % 128 != 0:
         return False
+    if has_res and w2_shape[-1] % 128 != 0:
+        return False
     return _pick_bh_chain(h, w_, c, c1, w2_shape[-1],
-                          jnp.dtype(dtype).itemsize, n_in) is not None
+                          jnp.dtype(dtype).itemsize, n_in,
+                          has_res) is not None

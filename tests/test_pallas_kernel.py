@@ -353,3 +353,117 @@ def test_bibuffer_conv_causal_interpret():
     np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
+
+
+@pytest.mark.parametrize('nt', [1, 3])
+def test_conv_ps_fold_interpret_matches_xla(nt):
+    """Fused up-conv + r=2 pixel shuffle + width-fold (ops/conv3x3
+    conv_ps_fold): the shuffled+folded output written as tile-aligned lane
+    slices must equal conv -> torch-order pixel_shuffle -> fold2."""
+    from bsvd_tpu.ops.conv3x3 import _conv_ps_fold_xla, conv_ps_fold_pallas
+    rng = np.random.default_rng(61)
+    NT, H, W, C, HALF = nt, 12, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, 4 * HALF)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4 * HALF) * 0.1, jnp.float32)
+    ref = _conv_ps_fold_xla(x, w, b)
+    for bh in (3, 4, 6, 12):
+        got = conv_ps_fold_pallas(x, w, b, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_conv_ps_fold_matches_up_site():
+    """conv_ps_fold == the wnet up-conv site (conv + nn.layers.pixel_shuffle
+    + width-fold) — ties the kernel to the checkpoint-compatible torch
+    PixelShuffle channel order (wnet_models.py:92-105)."""
+    from bsvd_tpu.nn.layers import pixel_shuffle
+    from bsvd_tpu.ops.conv3x3 import conv_ps_fold_pallas
+    from jax import lax
+    rng = np.random.default_rng(62)
+    NT, H, W, C, HALF = 2, 8, 12, 16, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, 4 * HALF)) * 0.05,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4 * HALF) * 0.1, jnp.float32)
+    y = lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ps = pixel_shuffle(y + b, 2)                        # (NT, 2H, 2W, HALF)
+    ref = ps.reshape(NT, 2 * H, W, 2 * HALF)            # width-fold
+    got = conv_ps_fold_pallas(x, w, b, bh=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_ps_fold_gradients():
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from bsvd_tpu.ops.conv3x3 import _conv_ps_fold_xla, conv_ps_fold
+    rng = np.random.default_rng(63)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_ps_fold(*a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_conv_ps_fold_xla(*a) ** 2)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('rc', [1, 3])
+def test_conv_chain_res_interpret_matches_xla(rc):
+    """Residual-fused chain kernel: skip-add + c1 + c2 + the folded
+    per-stage residual combine (lanes l%half < rc become x_res - y)."""
+    from bsvd_tpu.ops.conv_chain import _chain_res_xla, conv_chain_pallas
+    rng = np.random.default_rng(71)
+    NT, H, W, C, C1, CO = 2, 12, 16, 16, 24, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((NT, H, W, CO)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C1)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C1, CO)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _chain_res_xla(x, x2, xr, w1, b1, w2, b2, 'relu6', 'none', rc)
+    for bh in (3, 4, 12):
+        got = conv_chain_pallas(x, w1, b1, w2, b2, x2, xr, act1='relu6',
+                                act2='none', res_ch=rc, bh=bh,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_conv_chain_res_gradients():
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from bsvd_tpu.ops.conv_chain import _chain_res_xla, conv_chain_add2_res
+    rng = np.random.default_rng(72)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 16)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((1, 8, 64, 16)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((1, 8, 64, 8)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_chain_add2_res(*a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_chain_res_xla(*a, 'relu6', 'none', 3) ** 2)
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(x, x2, xr, w1, b1,
+                                                       w2, b2)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(x, x2, xr, w1, b1,
+                                                     w2, b2)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
