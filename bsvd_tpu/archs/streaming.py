@@ -224,14 +224,22 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
                  _bibuffer_init(n, h4, w4, c2, fd, dt, causal)]
     st['up1'] = [_bibuffer_init(n, h2, w2, c1, fd, dt, causal),
                  _bibuffer_init(n, h2, w2, c1, fd, dt, causal)]
-    # ring depths = pipeline in-flight count + 1 (see delays in module doc)
+    # ring depths = pipeline in-flight count + 1 (see delays in module doc).
+    # On the folded path the full-res rings store the WIDTH-FOLDED view
+    # (same element count) so the step never unfolds between stages.
+    if _fold_active(cfg, w):
+        sk1_dims = (n, h, w // 2, 2 * cfg.residual_ch)
+        sk2_dims = (n, h, w // 2, 2 * c0)
+    else:
+        sk1_dims = (n, h, w, cfg.residual_ch)
+        sk2_dims = (n, h, w, c0)
     if causal:
-        st['skip1'] = _ring_init(1, n, h, w, cfg.residual_ch, dt)
-        st['skip2'] = _ring_init(1, n, h, w, c0, dt)
+        st['skip1'] = _ring_init(1, *sk1_dims, dt)
+        st['skip2'] = _ring_init(1, *sk2_dims, dt)
         st['skip3'] = _ring_init(1, n, h2, w2, c1, dt)
     else:
-        st['skip1'] = _ring_init(d_inc + 9, n, h, w, cfg.residual_ch, dt)
-        st['skip2'] = _ring_init(9, n, h, w, c0, dt)
+        st['skip1'] = _ring_init(d_inc + 9, *sk1_dims, dt)
+        st['skip2'] = _ring_init(9, *sk2_dims, dt)
         st['skip3'] = _ring_init(5, n, h2, w2, c1, dt)
     return st
 
@@ -266,16 +274,22 @@ def _on_tpu():
         return False
 
 
+def _fold_active(cfg, w):
+    """Whether the width-folded per-frame path is active at width ``w`` —
+    must agree between state init (ring shapes) and the step."""
+    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
+        return False
+    if w % 2 != 0:
+        return False
+    return _on_tpu()
+
+
 def _folded_stream_ok(x, cfg):
     """Gate for the width-folded stems of the per-frame streaming step: same
     trick as wnet_arch._stage_apply_folded — the folded convs are dense
     128-lane contractions (NT=1 Pallas kernel where the shape qualifies)
     instead of C=64/C=4 shapes XLA runs slowly at 540p."""
-    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
-        return False
-    if x.shape[-2] % 2 != 0:
-        return False
-    return _on_tpu()
+    return _fold_active(cfg, x.shape[-2])
 
 
 def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None,
@@ -338,10 +352,26 @@ def _up_conv_ps_stream(conv_p, x, act):
                                          'none'), 2)
 
 
-def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
+def _up_conv_psfold_stream(conv_p, x, act):
+    """Per-frame up conv emitting the shuffled+width-folded output directly
+    (ops/conv3x3.conv_ps_fold NT=1 variant) — no XLA relayout copies."""
+    n, h, w, c = x.shape
+    from bsvd_tpu.ops.conv3x3 import conv_ps_fold, conv_ps_fold_supported
+    if conv_ps_fold_supported((n, h, w, c), conv_p['w'].shape, x.dtype):
+        return conv_ps_fold(x, conv_p['w'], conv_p['b'])
+    return _fold2s(_up_conv_ps_stream(conv_p, x, act))
+
+
+def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
+                       fold_io=False):
     """One frame through one DenBlock stage (streaming DenBlock.forward,
     bsvd_arch.py:374-396). ``assume_filled=True`` (static) treats every
-    buffer as primed — the steady-state client path compiles mask-free."""
+    buffer as primed — the steady-state client path compiles mask-free.
+
+    ``fold_io``: x arrives width-folded and the folded output is returned —
+    the full-res segment (incl. the skip1/skip2 rings, see
+    _stage_stream_init) then lives entirely in the folded domain with no
+    unfold/refold reshapes inside or between stages."""
     norm = cfg.norm
     fd = cfg.fold_div
     causal = 'toFutureOnly' in cfg.shift_mode
@@ -355,10 +385,17 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     use_k = cfg.use_fused and cfg.norm == 'none' and _on_tpu()
     an = cfg.act if use_k else None
     new_st = dict(st)
+    rc = cfg.residual_ch
 
-    new_st['skip1'] = _ring_push(st['skip1'], x[..., :cfg.residual_ch], valid)
+    folded = fold_io or _folded_stream_ok(x, cfg)
+    if fold_io:
+        n_, h_, wf_, c2_ = x.shape
+        xr = x.reshape(n_, h_, wf_, 2, c2_ // 2)[..., :rc]
+        new_st['skip1'] = _ring_push(st['skip1'],
+                                     xr.reshape(n_, h_, wf_, 2 * rc), valid)
+    else:
+        new_st['skip1'] = _ring_push(st['skip1'], x[..., :rc], valid)
 
-    folded = _folded_stream_ok(x, cfg)
     if cfg.shift_input:
         s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
                                     st['inc'][0], x, valid, fd, causal,
@@ -368,14 +405,35 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
                                     assume_filled)
         new_st['inc'] = [s1, s2]
     elif folded:
-        xf = _fold2s(x)
+        xf = x if fold_io else _fold2s(x)
+        s_out0 = p['outc']['c2']['w'].shape[-1]
         if xf.shape[-1] >= 128:
             x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
                                       act, an or 'relu6', an)
+        elif an is not None and 2 * s_out0 >= 128:
+            # embed the sub-128-lane input with a 0/1 GEMM so inc runs the
+            # Pallas chain instead of an XLA K=8 conv + layout fix (see
+            # wnet_arch._stage_apply_folded)
+            in_c = xf.shape[-1] // 2
+            emb = np.zeros((2 * in_c, 2 * s_out0), np.float32)
+            for dj_ in range(2):
+                for c_ in range(in_c):
+                    emb[dj_ * in_c + c_, dj_ * s_out0 + c_] = 1.0
+            xe = lax.dot_general(
+                xf, jnp.asarray(emb, xf.dtype),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=xf.dtype)
+            w1 = p['inc']['c1']['w']
+            w1p = jnp.zeros(w1.shape[:2] + (s_out0,) + w1.shape[3:],
+                            w1.dtype)
+            w1p = w1p.at[:, :, :in_c].set(w1)
+            x0f = _pair_folded_stream({'w': w1p, 'b': p['inc']['c1']['b']},
+                                      p['inc']['c2'], xe, act,
+                                      an or 'relu6', an)
         else:
             x0f = _xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an)
             x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
-        x0 = _unfold2s(x0f)     # free reshape; skips/buffers stay natural
+        x0 = x0f if fold_io else _unfold2s(x0f)
         v0 = valid
     else:
         x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
@@ -386,7 +444,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
 
     d = p['down0']
     if folded:
-        y = _xla_down_folded(d['conv'], _fold2s(x0), act, kernel_act=an)
+        y = _xla_down_folded(d['conv'], x0 if fold_io else _fold2s(x0), act,
+                             kernel_act=an)
     else:
         y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
@@ -416,26 +475,55 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False):
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
                                           causal, assume_filled, an)
-    x1u = _up_conv_ps_stream(u['conv'], x1u, act)
-
-    new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
 
     o = p['outc']
+    s_out = o['c2']['w'].shape[-1]
     if folded:
-        yf = _pair_folded_stream(o['c1'], o['c2'], _fold2s(x1u), act,
-                                 'none', an,
-                                 x2_f=_fold2s(sk2.astype(x1u.dtype)))
-        y = _unfold2s(yf)
-    else:
-        y = act(norm_apply(norm, o['n1'],
-                           conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
-        y = conv2d(o['c2'], y)
+        # up1 conv emits the shuffled+folded layout directly, and the outc
+        # chain + skip-add + residual combine run as ONE kernel when the
+        # folded output is lane-aligned (mirrors wnet_arch's folded tail)
+        x1uf = _up_conv_psfold_stream(u['conv'], x1u, act)
+        new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
+        sk2f = (sk2 if fold_io else _fold2s(sk2)).astype(x1uf.dtype)
+        new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
+        n_, h_, wf_, _ = x1uf.shape
+        sk1f = (sk1 if fold_io else _fold2s(sk1)).astype(x1uf.dtype)
+        # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
+        # wnet_arch._stage_apply_folded)
+        emb = np.zeros((2 * rc, 2 * s_out), np.float32)
+        for dj in range(2):
+            for c_ in range(rc):
+                emb[dj * rc + c_, dj * s_out + c_] = 1.0
+        xpad = lax.dot_general(
+            sk1f, jnp.asarray(emb, sk1f.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=sk1f.dtype)
+        if an is not None:
+            from bsvd_tpu.ops.conv3x3 import fold_width_weights
+            from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
+                                                 conv_chain_supported)
+            w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
+            w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
+            if conv_chain_supported(sk2f.shape, w1.shape, w2.shape,
+                                    sk2f.dtype, n_in=2, has_res=True):
+                yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
+                                         cfg.act, 'none', rc)
+                return new_st, yf if fold_io else _unfold2s(yf), v1u
+        yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
+                                 x2_f=sk2f)
+        lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
+        out_f = jnp.where(lane_is_res, xpad - yf, yf)
+        return new_st, out_f if fold_io else _unfold2s(out_f), v1u
+
+    x1u = _up_conv_ps_stream(u['conv'], x1u, act)
+    new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
+    y = act(norm_apply(norm, o['n1'],
+                       conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
+    y = conv2d(o['c2'], y)
 
     new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
     # residual combine as one fused elementwise pass (lane select instead
     # of sub-128-lane slice+concat; see wnet_arch._stage_apply_folded)
-    rc = cfg.residual_ch
-    s_out = y.shape[-1]
     skpad = jnp.pad(sk1.astype(y.dtype),
                     [(0, 0)] * 3 + [(0, s_out - sk1.shape[-1])])
     lane_is_res = jnp.asarray(np.arange(s_out) < rc)
@@ -467,11 +555,17 @@ def stream_step(params, state, x, valid, cfg, assume_filled=False):
     act = get_act(cfg.act)
     if not isinstance(valid, bool):
         valid = jnp.asarray(valid, jnp.bool_)
+    fold_io = _fold_active(cfg, x.shape[-2])
+    if fold_io:
+        x = _fold2s(x)
     new_state = []
     for i in range(cfg.stage_num):
         st, x, valid = _stage_stream_step(params[f'stage{i}'], state[i], x,
-                                          valid, cfg, act, assume_filled)
+                                          valid, cfg, act, assume_filled,
+                                          fold_io=fold_io)
         new_state.append(st)
+    if fold_io:
+        x = _unfold2s(x)
     return new_state, x, valid
 
 

@@ -376,16 +376,54 @@ def _slice_folded_channels(x_f, c, lo, hi):
     return v.reshape(n, t, h, wf, 2 * (hi - lo))
 
 
-def _stage_apply_folded(p, x, cfg, act):
+def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     """DenBlock stage with the full-res segment in the folded domain.
-    Mirrors _stage_apply exactly (same site order/semantics)."""
-    from bsvd_tpu.nn.layers import pixel_shuffle
-    xf = _fold2(x)
-    in_ch = x.shape[-1]
+    Mirrors _stage_apply exactly (same site order/semantics).
 
+    ``fold_io``: x is ALREADY width-folded and the folded output is
+    returned un-unfolded — chaining stages entirely in the folded domain
+    avoids the unfold/refold reshape pair at stage boundaries, which XLA
+    materializes as two full-tensor layout copies (~4.5 ms on the 540p
+    flagship trace) instead of cancelling."""
+    from bsvd_tpu.nn.layers import pixel_shuffle
+    if fold_io:
+        xf = x
+        in_ch = x.shape[-1] // 2
+    else:
+        xf = _fold2(x)
+        in_ch = x.shape[-1]
+
+    rc = cfg.residual_ch
+    s_out = p['outc']['c2']['w'].shape[-1]
+    xe = None   # >=128-lane input in residual-source lane layout
     if xf.shape[-1] >= 128:
         x0 = _pair_folded(p['inc']['c1'], p['inc']['c2'], xf, cfg, act,
                           cfg.act)
+        if in_ch == s_out:
+            xe = xf
+    elif (cfg.use_fused and cfg.norm == 'none' and 2 * s_out >= 128
+          and cfg.act in ('relu', 'relu6')):
+        # sub-128-lane input (stage 0): embed per folded half to s_out
+        # channels with ONE 0/1 GEMM. The embedded tensor (a) feeds inc as
+        # a dense 128-lane Pallas chain — replacing an XLA K=8 conv whose
+        # output-layout fix alone costs ~2.5 ms — and (b) doubles as the
+        # residual source for the outc chain-res kernel (the mask only
+        # reads lanes l%s_out < residual_ch, so extra live channels like
+        # the noise map are ignored).
+        emb = np.zeros((2 * in_ch, 2 * s_out), np.float32)
+        for dj_ in range(2):
+            for c_ in range(in_ch):
+                emb[dj_ * in_ch + c_, dj_ * s_out + c_] = 1.0
+        xe = jax.lax.dot_general(
+            xf, jnp.asarray(emb, xf.dtype),
+            dimension_numbers=(((4,), (0,)), ((), ())),
+            preferred_element_type=xf.dtype)
+        w1p = jnp.zeros(p['inc']['c1']['w'].shape[:2] + (s_out,)
+                        + p['inc']['c1']['w'].shape[3:],
+                        p['inc']['c1']['w'].dtype)
+        w1p = w1p.at[:, :, :in_ch].set(p['inc']['c1']['w'])
+        p1p = {'w': w1p, 'b': p['inc']['c1']['b']}
+        x0 = _pair_folded(p1p, p['inc']['c2'], xe, cfg, act, cfg.act)
     else:
         x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
         x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
@@ -410,15 +448,25 @@ def _stage_apply_folded(p, x, cfg, act):
     x1uf = _up_conv_psfold(u['conv'], x1, cfg, act)
 
     o = p['outc']
-    rc = cfg.residual_ch
-    s_out = o['c2']['w'].shape[-1]
     n, t, h, wf, _ = x0.shape
 
-    # residual source, padded per folded half to the output channel count
-    # (the pad is bandwidth-bound XLA; everything downstream fuses)
-    xr = xf.reshape(n, t, h, wf, 2, in_ch)[..., :rc]
-    xpad = jnp.pad(xr, [(0, 0)] * 5 + [(0, s_out - rc)])
-    xpad = xpad.reshape(n, t, h, wf, 2 * s_out)
+    # residual source in the output's folded lane layout. The stage input
+    # itself serves when its lane layout already matches (xe): the residual
+    # mask only reads lanes l%s_out < rc. Otherwise embed with a 0/1 GEMM —
+    # NOT reshape+pad, whose XLA lowering picks an H-minor layout for the
+    # sub-128-lane intermediate and pays a full-tensor relayout copy before
+    # the Pallas consumer (~3.6 ms on the 540p trace).
+    if xe is not None:
+        xpad = xe
+    else:
+        emb = np.zeros((2 * in_ch, 2 * s_out), np.float32)
+        for dj in range(2):
+            for c_ in range(rc):
+                emb[dj * in_ch + c_, dj * s_out + c_] = 1.0
+        xpad = jax.lax.dot_general(
+            xf, jnp.asarray(emb, xf.dtype),
+            dimension_numbers=(((4,), (0,)), ((), ())),
+            preferred_element_type=xf.dtype)
 
     # outc c1+c2 + skip-add + residual combine as ONE kernel when the
     # folded output is lane-aligned (ops/conv_chain.conv_chain_add2_res)
@@ -435,7 +483,8 @@ def _stage_apply_folded(p, x, cfg, act):
                 x1uf.reshape(n * t, h, wf, x1uf.shape[-1]),
                 xpad.reshape(n * t, h, wf, 2 * s_out),
                 w1, b1, w2, b2, cfg.act, 'none', rc)
-            return _unfold2(y.reshape(n, t, h, wf, 2 * s_out))
+            y = y.reshape(n, t, h, wf, 2 * s_out)
+            return y if fold_io else _unfold2(y)
 
     y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
 
@@ -444,7 +493,7 @@ def _stage_apply_folded(p, x, cfg, act):
     # 9.7 ms/fwd on TPU)
     lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
     out_f = jnp.where(lane_is_res, xpad - y, y)
-    return _unfold2(out_f)
+    return out_f if fold_io else _unfold2(out_f)
 
 
 def _stage_apply(p, x, cfg, act, shift_fns=None):
@@ -508,6 +557,15 @@ def wnet_apply(params, x, cfg):
       streaming pipeline output, bit-for-bit in exact arithmetic).
     """
     act = get_act(cfg.act)
+    if _folded_stems_ok(x, cfg):
+        # chain every stage in the width-folded domain: fold once, unfold
+        # once — stage-boundary unfold/refold pairs otherwise materialize
+        # as two full-tensor copies each (XLA does not cancel them)
+        xf = _fold2(x)
+        for i in range(cfg.stage_num):
+            xf = _stage_apply_folded(params[f'stage{i}'], xf, cfg, act,
+                                     fold_io=True)
+        return _unfold2(xf)
     for i in range(cfg.stage_num):
         x = _stage_apply(params[f'stage{i}'], x, cfg, act)
     return x

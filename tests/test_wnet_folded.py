@@ -112,3 +112,24 @@ def test_folded_streaming_step_matches_plain(monkeypatch):
     monkeypatch.setattr(st, '_folded_stream_ok', lambda x, cfg: True)
     folded = run()
     np.testing.assert_allclose(folded, plain, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_io_stage_chain_matches_plain():
+    """Chaining stages entirely in the folded domain (fold_io=True, the
+    wnet_apply fast path) == per-stage natural-I/O folded application."""
+    from bsvd_tpu.archs.wnet_arch import _fold2, _unfold2
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(5), cfg)
+    act = get_act(cfg.act)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 16, 24, 4)), jnp.float32)
+    ref = x
+    for i in range(cfg.stage_num):
+        ref = _stage_apply(params[f'stage{i}'], ref, cfg, act)
+    xf = _fold2(x)
+    for i in range(cfg.stage_num):
+        xf = _stage_apply_folded(params[f'stage{i}'], xf, cfg, act,
+                                 fold_io=True)
+    got = _unfold2(xf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
