@@ -274,14 +274,13 @@ def _on_tpu():
         return False
 
 
-def _fold_active(cfg, w):
-    """Whether the width-folded per-frame path is active at width ``w`` —
-    must agree between state init (ring shapes) and the step."""
-    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
-        return False
-    if w % 2 != 0:
-        return False
-    return _on_tpu()
+# Width-folded-path gate: the SAME predicate as the MIMO path
+# (wnet_arch.fold_gate) so streaming and whole-clip MIMO always take the
+# same kernels for the same config, and the skip-ring shapes chosen at
+# state-init time agree with the step.
+from bsvd_tpu.archs.wnet_arch import (embed_half_lanes,  # noqa: E402
+                                      fold_gate as _fold_active,
+                                      pad_in_channels)
 
 
 def _folded_stream_ok(x, cfg):
@@ -415,19 +414,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
             # Pallas chain instead of an XLA K=8 conv + layout fix (see
             # wnet_arch._stage_apply_folded)
             in_c = xf.shape[-1] // 2
-            emb = np.zeros((2 * in_c, 2 * s_out0), np.float32)
-            for dj_ in range(2):
-                for c_ in range(in_c):
-                    emb[dj_ * in_c + c_, dj_ * s_out0 + c_] = 1.0
-            xe = lax.dot_general(
-                xf, jnp.asarray(emb, xf.dtype),
-                dimension_numbers=(((3,), (0,)), ((), ())),
-                preferred_element_type=xf.dtype)
-            w1 = p['inc']['c1']['w']
-            w1p = jnp.zeros(w1.shape[:2] + (s_out0,) + w1.shape[3:],
-                            w1.dtype)
-            w1p = w1p.at[:, :, :in_c].set(w1)
-            x0f = _pair_folded_stream({'w': w1p, 'b': p['inc']['c1']['b']},
+            xe = embed_half_lanes(xf, in_c, s_out0)
+            x0f = _pair_folded_stream(pad_in_channels(p['inc']['c1'], s_out0),
                                       p['inc']['c2'], xe, act,
                                       an or 'relu6', an)
         else:
@@ -486,18 +474,10 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
         sk2f = (sk2 if fold_io else _fold2s(sk2)).astype(x1uf.dtype)
         new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
-        n_, h_, wf_, _ = x1uf.shape
         sk1f = (sk1 if fold_io else _fold2s(sk1)).astype(x1uf.dtype)
         # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
-        # wnet_arch._stage_apply_folded)
-        emb = np.zeros((2 * rc, 2 * s_out), np.float32)
-        for dj in range(2):
-            for c_ in range(rc):
-                emb[dj * rc + c_, dj * s_out + c_] = 1.0
-        xpad = lax.dot_general(
-            sk1f, jnp.asarray(emb, sk1f.dtype),
-            dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=sk1f.dtype)
+        # wnet_arch.embed_half_lanes)
+        xpad = embed_half_lanes(sk1f, rc, s_out)
         if an is not None:
             from bsvd_tpu.ops.conv3x3 import fold_width_weights
             from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
@@ -641,6 +621,7 @@ class StreamDenoiser:
         self._step_drain = jax.jit(
             lambda p, s, f: stream_step(p, s, f, False, cfg),
             donate_argnums=(1,))
+        self._block_steps = {}      # (F, steady) -> jitted scan (push_block)
         self.reset()
 
     def reset(self):
@@ -661,6 +642,53 @@ class StreamDenoiser:
             self._emitted += 1
             return out
         return None
+
+    def push_block(self, frames):
+        """Throughput mode: advance the pipeline by F frames in ONE device
+        program (a jitted scan), returning the F delayed outputs.
+
+        One dispatch instead of F — on remote-attached TPUs the per-call
+        host->device latency (~3.7 ms through the axon tunnel, PERF.md)
+        amortizes across the block. Adds F-1 frames of latency for the
+        first frame of the block relative to per-frame ``push``.
+
+        Args:
+            frames: (F, N, H, W, C_in) stacked frames (or a list of
+                (N, H, W, C_in) arrays).
+        Returns:
+            list of F outputs ((N, H, W, out_ch) each; None while the
+            pipeline is still filling).
+        """
+        if isinstance(frames, (list, tuple)):
+            frames = jnp.stack([jnp.asarray(f, self.dtype) for f in frames])
+        else:
+            frames = jnp.asarray(frames, self.dtype)
+        f = frames.shape[0]
+        steady = self._pushed >= self.latency
+        key = (f, steady)
+        blk = self._block_steps.get(key)
+        if blk is None:
+            cfg = self.cfg
+
+            def run(p, s, fr):
+                def body(carry, frame):
+                    new_c, out, _ = stream_step(p, carry, frame, True, cfg,
+                                                assume_filled=steady)
+                    return new_c, out
+                return lax.scan(body, s, fr)
+
+            blk = jax.jit(run, donate_argnums=(1,))
+            self._block_steps[key] = blk
+        self.state, outs = blk(self.params, self.state, frames)
+        res = []
+        for i in range(f):
+            self._pushed += 1
+            if self._pushed > self.latency:
+                self._emitted += 1
+                res.append(outs[i])
+            else:
+                res.append(None)
+        return res
 
     def flush(self):
         n, h, w = self._shape

@@ -282,19 +282,61 @@ def _unfold2(x):
     return x.reshape(n, t, h, w2 * 2, c2 // 2)
 
 
-def _folded_stems_ok(x, cfg):
-    """Gate for the width-folded full-res segment: fused mode, identity
-    norm, plain (non-shifted) stems, even W, TPU backend (the folded path
-    is exact everywhere, but only pays off where the boundary effects it
-    sidesteps exist; tests call _stage_apply_folded directly on CPU)."""
+# Activations the Pallas kernel epilogues implement; gates for every fused
+# site check against this single tuple so MIMO and streaming always pick
+# the same path for the same config.
+KERNEL_ACTS = ('relu', 'relu6', 'none')
+
+
+def fold_gate(cfg, w):
+    """Gate for the width-folded segment, shared by the MIMO path and the
+    streaming step (which must also size its skip rings consistently):
+    fused mode, identity norm, plain (non-shifted) stems, even W, TPU
+    backend. The folded path is exact everywhere, but only pays off where
+    the boundary effects it sidesteps exist; tests call the folded
+    implementations directly on CPU."""
     if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
         return False
-    if x.shape[-2] % 2 != 0:
+    if w % 2 != 0:
         return False
     try:
         return jax.devices()[0].platform in ('tpu', 'TPU', 'axon')
     except Exception:
         return False
+
+
+def _folded_stems_ok(x, cfg):
+    return fold_gate(cfg, x.shape[-2])
+
+
+def embed_half_lanes(x_f, in_c, s_out):
+    """0/1-embedding GEMM mapping folded lanes (dj*in_c + c) to
+    (dj*s_out + c), zero elsewhere — the lane layout the folded residual
+    combine and the padded inc weights consume.
+
+    A dot is used instead of reshape+pad because XLA lowers the pad via an
+    H-minor layout for the sub-128-lane intermediate and then pays a
+    full-tensor relayout copy before the Pallas consumer (~3.6 ms on the
+    540p flagship trace); the dot lands directly in the MXU-default
+    layout."""
+    emb = np.zeros((2 * in_c, 2 * s_out), np.float32)
+    for dj in range(2):
+        # channels beyond s_out are dropped — consumers only read lanes
+        # l % s_out < residual_ch, and residual_ch <= s_out always
+        for c in range(min(in_c, s_out)):
+            emb[dj * in_c + c, dj * s_out + c] = 1.0
+    k = x_f.ndim - 1
+    return jax.lax.dot_general(x_f, jnp.asarray(emb, x_f.dtype),
+                               dimension_numbers=(((k,), (0,)), ((), ())),
+                               preferred_element_type=x_f.dtype)
+
+
+def pad_in_channels(conv_p, s_in):
+    """Zero-pad a conv's input-channel dim to ``s_in`` (consumes the
+    embed_half_lanes lane layout after width-folding)."""
+    w = conv_p['w']
+    wp = jnp.zeros(w.shape[:2] + (s_in,) + w.shape[3:], w.dtype)
+    return {'w': wp.at[:, :, :w.shape[2]].set(w), 'b': conv_p['b']}
 
 
 def _site_folded(conv_p, x_f, cfg, act, act_name, x2_f=None):
@@ -328,7 +370,7 @@ def _pair_folded(p1, p2, x_f, cfg, act, act2, x2_f=None):
     from bsvd_tpu.ops.conv3x3 import fold_width_weights
     n, t, h, wf, c2 = x_f.shape
     if cfg.use_fused and cfg.norm == 'none' and c2 >= 128 \
-            and cfg.act in ('relu', 'relu6'):
+            and cfg.act in KERNEL_ACTS:
         from bsvd_tpu.ops.conv_chain import (conv_chain, conv_chain_add2,
                                              conv_chain_supported)
         w1, b1 = fold_width_weights(p1['w'], p1['b'])
@@ -355,7 +397,7 @@ def _down_folded(conv_p, norm_p, x_f, cfg, act):
     w2, b2 = fold_width_stride2_weights(conv_p['w'], conv_p['b'])
     n, t, h, wf, c2 = x_f.shape
     xm = x_f.reshape(n * t, h, wf, c2)
-    if cfg.use_fused and cfg.norm == 'none' and cfg.act in ('relu', 'relu6'):
+    if cfg.use_fused and cfg.norm == 'none' and cfg.act in KERNEL_ACTS:
         from bsvd_tpu.ops.conv_s2 import conv_s2, conv_s2_supported
         if conv_s2_supported(xm.shape, w2.shape, xm.dtype):
             y = conv_s2(xm, w2, b2, cfg.act)
@@ -402,7 +444,7 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
         if in_ch == s_out:
             xe = xf
     elif (cfg.use_fused and cfg.norm == 'none' and 2 * s_out >= 128
-          and cfg.act in ('relu', 'relu6')):
+          and cfg.act in KERNEL_ACTS):
         # sub-128-lane input (stage 0): embed per folded half to s_out
         # channels with ONE 0/1 GEMM. The embedded tensor (a) feeds inc as
         # a dense 128-lane Pallas chain — replacing an XLA K=8 conv whose
@@ -410,20 +452,9 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
         # residual source for the outc chain-res kernel (the mask only
         # reads lanes l%s_out < residual_ch, so extra live channels like
         # the noise map are ignored).
-        emb = np.zeros((2 * in_ch, 2 * s_out), np.float32)
-        for dj_ in range(2):
-            for c_ in range(in_ch):
-                emb[dj_ * in_ch + c_, dj_ * s_out + c_] = 1.0
-        xe = jax.lax.dot_general(
-            xf, jnp.asarray(emb, xf.dtype),
-            dimension_numbers=(((4,), (0,)), ((), ())),
-            preferred_element_type=xf.dtype)
-        w1p = jnp.zeros(p['inc']['c1']['w'].shape[:2] + (s_out,)
-                        + p['inc']['c1']['w'].shape[3:],
-                        p['inc']['c1']['w'].dtype)
-        w1p = w1p.at[:, :, :in_ch].set(p['inc']['c1']['w'])
-        p1p = {'w': w1p, 'b': p['inc']['c1']['b']}
-        x0 = _pair_folded(p1p, p['inc']['c2'], xe, cfg, act, cfg.act)
+        xe = embed_half_lanes(xf, in_ch, s_out)
+        x0 = _pair_folded(pad_in_channels(p['inc']['c1'], s_out),
+                          p['inc']['c2'], xe, cfg, act, cfg.act)
     else:
         x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
         x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
@@ -456,21 +487,11 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     # NOT reshape+pad, whose XLA lowering picks an H-minor layout for the
     # sub-128-lane intermediate and pays a full-tensor relayout copy before
     # the Pallas consumer (~3.6 ms on the 540p trace).
-    if xe is not None:
-        xpad = xe
-    else:
-        emb = np.zeros((2 * in_ch, 2 * s_out), np.float32)
-        for dj in range(2):
-            for c_ in range(rc):
-                emb[dj * in_ch + c_, dj * s_out + c_] = 1.0
-        xpad = jax.lax.dot_general(
-            xf, jnp.asarray(emb, xf.dtype),
-            dimension_numbers=(((4,), (0,)), ((), ())),
-            preferred_element_type=xf.dtype)
+    xpad = xe if xe is not None else embed_half_lanes(xf, in_ch, s_out)
 
     # outc c1+c2 + skip-add + residual combine as ONE kernel when the
     # folded output is lane-aligned (ops/conv_chain.conv_chain_add2_res)
-    if cfg.use_fused and cfg.norm == 'none' and cfg.act in ('relu', 'relu6'):
+    if cfg.use_fused and cfg.norm == 'none' and cfg.act in KERNEL_ACTS:
         from bsvd_tpu.ops.conv3x3 import fold_width_weights
         from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
                                              conv_chain_supported)

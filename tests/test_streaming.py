@@ -129,3 +129,52 @@ def test_chunked_device_scan_matches_host_loop(t, psz, future):
     dev = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
                       future_buffer_len=future)
     np.testing.assert_allclose(dev, host, atol=2e-6)
+
+
+def test_stream_denoiser_push_block_matches_push():
+    """push_block (one jitted scan per F-frame block) == per-frame push."""
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, n, h, w = 20, 1, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(2), (n, t, h, w, 4), jnp.float32)
+    mimo = np.asarray(wnet_apply(params, x, cfg))
+
+    sd = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    outs = []
+    for i in range(0, t, 4):
+        block = jnp.moveaxis(x[:, i:i + 4], 1, 0)      # (F, N, H, W, C)
+        outs.extend(o for o in sd.push_block(block) if o is not None)
+    assert len(outs) == t - sd.latency
+    outs.extend(sd.flush())
+    got = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(got, mimo, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_fold_io_path_matches_mimo_cpu(monkeypatch):
+    """Force the width-folded streaming path (normally TPU-only) on CPU:
+    folded skip rings + fold_io stage chaining must still equal whole-clip
+    MIMO. Covers the riskiest folded-layout code (per-half channel slicing
+    into the folded skip1 ring, folded ring pops feeding the outc tail)
+    without TPU hardware."""
+    import bsvd_tpu.archs.streaming as streaming_mod
+    monkeypatch.setattr(streaming_mod, '_fold_active',
+                        lambda cfg, w: cfg.norm == 'none' and w % 2 == 0
+                        and not cfg.shift_input)
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(7), cfg)
+    t, n, h, w = 20, 1, 16, 24
+    x = jax.random.normal(jax.random.PRNGKey(8), (n, t, h, w, 4), jnp.float32)
+    mimo = np.asarray(wnet_apply(params, x, cfg))
+    got = np.asarray(streaming_apply(params, x, cfg))
+    np.testing.assert_allclose(got, mimo, rtol=2e-5, atol=2e-5)
+
+    # the frame-by-frame client through the same forced-folded path
+    sd = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    outs = []
+    for i in range(t):
+        o = sd.push(x[:, i])
+        if o is not None:
+            outs.append(np.asarray(o))
+    outs.extend(np.asarray(o) for o in sd.flush())
+    np.testing.assert_allclose(np.stack(outs, axis=1), mimo,
+                               rtol=2e-5, atol=2e-5)
