@@ -133,6 +133,16 @@ class DenoisingModel(BaseModel):
         par = dict(opt.get('parallel') or {})
         self.mesh = make_mesh(opt.get('num_gpu', 'auto'),
                               spatial=int(par.get('spatial', 1)))
+        # Pallas custom calls carry no GSPMD partitioning rules, so under a
+        # multi-device mesh XLA would REPLICATE their operands — correct
+        # output, but it silently defeats the sharding. Until the kernels
+        # are wrapped in shard_map with explicit halo exchange, multi-chip
+        # runs take the XLA conv path, which GSPMD partitions with
+        # automatic halo exchange (single-chip keeps the fused kernels).
+        if self.mesh.size > 1 and getattr(self.cfg, 'use_fused', False):
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, use_fused=False)
+            self.net.cfg = self.cfg
 
         if self.is_train:
             self.init_training_settings()
