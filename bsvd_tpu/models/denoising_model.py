@@ -32,7 +32,7 @@ def _nfchw_to_nthwc(x):
 
 
 def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
-                    params_template=None):
+                    params_template=None, mesh=None):
     """Build the pure (params, opt_state, ema, batch, it, ema_decay) update.
 
     Loss = pixel + perceptual(+style) like the reference optimize_parameters
@@ -86,9 +86,52 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
                 losses['l_style'] = l_style
         return total, (losses, stats)
 
-    def step(params, opt_state, ema_params, batch, it, ema_decay):
+    def grads_and_losses(params, lq, gt):
         (_, (loss_dict, stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch['lq'], batch['gt'])
+            loss_fn, has_aux=True)(params, lq, gt)
+        return grads, loss_dict, stats
+
+    if (mesh is not None and mesh.size > 1 and bn_paths is None
+            and dict(mesh.shape).get('spatial', 1) == 1):
+        # Data-parallel via shard_map: each device runs the forward/backward
+        # on ITS batch shard — this keeps the Pallas kernels usable under a
+        # multi-device mesh (GSPMD has no partitioning rules for custom
+        # calls and would replicate their operands). Gradients/losses are
+        # pmean'd over the 'data' axis; the optimizer then updates
+        # replicated params identically on every device. BN configs stay on
+        # the GSPMD path (their fused kernels are gated off anyway, and
+        # batch stats there are computed over the GLOBAL batch).
+        import functools
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P('data'), P('data')),
+            out_specs=(P(), P()),
+            check_rep=False)
+        def sharded_grads(p, lq, gt):
+            grads, loss_dict, _ = grads_and_losses(p, lq, gt)
+            grads = jax.lax.pmean(grads, 'data')
+            loss_dict = jax.lax.pmean(loss_dict, 'data')
+            return grads, loss_dict
+
+        def step(params, opt_state, ema_params, batch, it, ema_decay):
+            grads, loss_dict = sharded_grads(params, batch['lq'],
+                                             batch['gt'])
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if ema_params is not None:
+                ema_params = jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                    ema_params, params)
+            return params, opt_state, ema_params, loss_dict
+
+        return step
+
+    def step(params, opt_state, ema_params, batch, it, ema_decay):
+        grads, loss_dict, stats = grads_and_losses(params, batch['lq'],
+                                                   batch['gt'])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if bn_paths is not None:
@@ -133,13 +176,16 @@ class DenoisingModel(BaseModel):
         par = dict(opt.get('parallel') or {})
         self.mesh = make_mesh(opt.get('num_gpu', 'auto'),
                               spatial=int(par.get('spatial', 1)))
-        # Pallas custom calls carry no GSPMD partitioning rules, so under a
-        # multi-device mesh XLA would REPLICATE their operands — correct
-        # output, but it silently defeats the sharding. Until the kernels
-        # are wrapped in shard_map with explicit halo exchange, multi-chip
-        # runs take the XLA conv path, which GSPMD partitions with
-        # automatic halo exchange (single-chip keeps the fused kernels).
-        if self.mesh.size > 1 and getattr(self.cfg, 'use_fused', False):
+        # Pallas custom calls carry no GSPMD partitioning rules, so a
+        # SPATIALLY sharded tensor reaching a fused kernel would be
+        # silently replicated across the mesh. Spatial meshes therefore
+        # take the XLA conv path, which GSPMD partitions with automatic
+        # halo exchange. Data-only multi-device meshes KEEP the fused
+        # kernels: the train step runs them per-shard inside shard_map
+        # (make_train_step), and eval does not shard without a spatial
+        # axis.
+        if (dict(self.mesh.shape).get('spatial', 1) > 1
+                and getattr(self.cfg, 'use_fused', False)):
             import dataclasses
             self.cfg = dataclasses.replace(self.cfg, use_fused=False)
             self.net.cfg = self.cfg
@@ -180,7 +226,7 @@ class DenoisingModel(BaseModel):
 
         step = make_train_step(self.cfg, self.tx, self.cri_pix,
                                cri_perceptual=self.cri_perceptual,
-                               params_template=self.params)
+                               params_template=self.params, mesh=self.mesh)
         repl = replicated_sharding(self.mesh)
         bsh5 = batch_sharding(self.mesh, 5, batch_axis=0, spatial_axis=2)
         self._train_step = jax.jit(

@@ -46,3 +46,43 @@ def test_shard_batch_tree():
     tree = {'a': np.zeros((8, 3)), 'b': np.ones((8, 2, 2))}
     sharded = shard_batch(mesh, tree)
     assert sharded['a'].sharding.spec[0] == 'data'
+
+
+def test_shard_map_dp_train_step_matches_single_device():
+    """Data-parallel train step via shard_map (the path that keeps Pallas
+    kernels usable on multi-chip meshes) == the unsharded step: identical
+    params, opt state, and losses after several updates."""
+    import optax
+    from bsvd_tpu.models.denoising_model import make_train_step
+    from bsvd_tpu.losses import build_loss
+
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(3), cfg)
+    tx = optax.adam(1e-3)
+    cri = build_loss(dict(type='MSELoss', loss_weight=1.0))
+
+    step_ref = make_train_step(cfg, tx, cri)
+    mesh = make_mesh(8, spatial=1)
+    step_dp = make_train_step(cfg, tx, cri, mesh=mesh)
+
+    rng = np.random.default_rng(4)
+    p1 = jax.tree.map(jnp.array, params)
+    p2 = jax.tree.map(jnp.array, params)
+    s1 = tx.init(p1)
+    s2 = tx.init(p2)
+    for it in range(3):
+        batch = {
+            'lq': jnp.asarray(rng.uniform(0, 1, (8, 3, 16, 16, 4)),
+                              jnp.float32),
+            'gt': jnp.asarray(rng.uniform(0, 1, (8, 3, 16, 16, 3)),
+                              jnp.float32),
+        }
+        p1, s1, _, l1 = jax.jit(step_ref)(p1, s1, None, batch, it, 0.0)
+        p2, s2, _, l2 = jax.jit(step_dp)(p2, s2, None, batch, it, 0.0)
+        # per-shard reduce + pmean vs one global mean: same math, different
+        # fp32 summation order (measured drift ~3e-6 after 3 Adam steps)
+        np.testing.assert_allclose(float(l1['l_pix']), float(l2['l_pix']),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
