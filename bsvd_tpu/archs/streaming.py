@@ -32,7 +32,8 @@ def _conv_act_fused(conv_p, norm, norm_p, act, x, act_name):
     applies (identity norm, C >= 128 — the per-frame shift assembly already
     happened via the carried buffers, so the conv itself is plain), XLA
     otherwise. ``act_name=None`` forces the XLA path."""
-    if (act_name in ('relu', 'relu6', 'none') and norm == 'none'
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
+    if (act_name in KERNEL_ACTS and norm == 'none'
             and 'b' in conv_p and conv_p['w'].shape[0] == 3):
         from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
         n, h, w, c = x.shape
@@ -53,20 +54,13 @@ def _conv_act_fused(conv_p, norm, norm_p, act, x, act_name):
 # ---------------------------------------------------------------------------
 
 def _bibuffer_init(n, h, w, c, fold_div, dtype, causal=False):
-    fold = c // fold_div
-    del fold
-    if causal:
-        # causal state = previous frame, C-lane wide (only [:2f] is read;
-        # full width keeps the fused kernel's DMA at 128-lane granularity)
-        return {
-            'packed': jnp.zeros((n, h, w, c), dtype),
-            'has_center': jnp.zeros((), jnp.bool_),
-        }
-    # PACKED bidirectional state: [left, center[f:]] — center[:f] is never
-    # read by the step, so the pack is lossless and exactly C lanes. Both
-    # the conv input and the next state are pure lane slices of (x, B),
-    # which lets the steady-state path fuse the whole step into ONE kernel
-    # (ops/bibuffer_conv).
+    # Both modes carry one C-lane packed frame. Bidirectional: PACKED state
+    # [left, center[f:]] — center[:f] is never read by the step, so the pack
+    # is lossless and exactly C lanes; both the conv input and the next state
+    # are pure lane slices of (x, B), which lets the steady-state path fuse
+    # the whole step into ONE kernel (ops/bibuffer_conv). Causal: the
+    # previous frame, full C lanes (only [:2f] is read; full width keeps the
+    # fused kernel's DMA at 128-lane granularity).
     return {
         'packed': jnp.zeros((n, h, w, c), dtype),
         'has_center': jnp.zeros((), jnp.bool_),
@@ -303,7 +297,8 @@ def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None,
     if kernel_act is not None:
         from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
         if (x_f.shape[-1] >= 128
-                and conv3x3_supported(x_f.shape, w2.shape, x_f.dtype)):
+                and conv3x3_supported(x_f.shape, w2.shape, x_f.dtype,
+                                      n_in=1 if x2_f is None else 2)):
             return conv3x3_pallas(x_f, w2, b2, x2_f, shift='none',
                                   act=kernel_act)
     xin = x_f if x2_f is None else x_f + x2_f
@@ -381,7 +376,9 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     # double-buffers DMA across row blocks and beats XLA at every >=128-lane
     # site (PERF.md round-3 streaming table). C<128 sites (inc c1, stride-2
     # downs) stay on XLA.
-    use_k = cfg.use_fused and cfg.norm == 'none' and _on_tpu()
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
+    use_k = (cfg.use_fused and cfg.norm == 'none' and _on_tpu()
+             and cfg.act in KERNEL_ACTS)
     an = cfg.act if use_k else None
     new_st = dict(st)
     rc = cfg.residual_ch

@@ -155,14 +155,14 @@ def _shift(x, cfg, shift_fn):
     return temporal_shift(x, cfg.fold_div, cfg.shift_mode)
 
 
-def _fused_ok(x, p, cfg):
+def _fused_ok(x, p, cfg, n_in=1):
     if not (cfg.use_fused and cfg.norm == 'none'
             and cfg.shift_mode != 'none' and 'b' in p):
         return False
     from bsvd_tpu.ops.shift_conv import shift_conv_supported
     n, t, h, w, c = x.shape
     return shift_conv_supported((n * t, h, w, c), p['w'].shape, x.dtype,
-                                cfg.norm)
+                                cfg.norm, n_in=n_in)
 
 
 def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
@@ -241,7 +241,7 @@ def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None):
 
 
 def _shift_conv_act_site(conv_p, norm_p, x, cfg, act, x_add=None):
-    if _fused_ok(x, conv_p, cfg):
+    if _fused_ok(x, conv_p, cfg, n_in=1 if x_add is None else 2):
         from bsvd_tpu.ops.shift_conv import shift_conv, shift_conv_add2
         n, t, h, w, c = x.shape
         causal = 'toFutureOnly' in cfg.shift_mode
@@ -284,8 +284,9 @@ def _unfold2(x):
 
 # Activations the Pallas kernel epilogues implement; gates for every fused
 # site check against this single tuple so MIMO and streaming always pick
-# the same path for the same config.
-KERNEL_ACTS = ('relu', 'relu6', 'none')
+# the same path for the same config (the kernels also raise on anything
+# else rather than silently skipping the activation).
+from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS  # noqa: E402  single source
 
 
 def fold_gate(cfg, w):
@@ -350,7 +351,8 @@ def _site_folded(conv_p, x_f, cfg, act, act_name, x2_f=None):
     if cfg.use_fused and c2 >= 128:
         from bsvd_tpu.ops.conv3x3 import (conv3x3, conv3x3_add2,
                                           conv3x3_supported)
-        if conv3x3_supported((n * t, h, wf, c2), w2.shape, x_f.dtype):
+        if conv3x3_supported((n * t, h, wf, c2), w2.shape, x_f.dtype,
+                             n_in=1 if x2_f is None else 2):
             if x2_f is None:
                 y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name)
             else:

@@ -96,6 +96,39 @@ def _chunked_mimo_device(params, x, cfg, psz, future):
     return jnp.concatenate(outs, axis=0)
 
 
+def _chunked_mimo_async(params, x, cfg, psz, future):
+    """The temp_psz protocol as an async host loop over jitted chunk
+    forwards: outputs stay on device (one device->host copy total, no
+    per-chunk sync — dispatch is async) and the compiled units are the
+    chunk-shaped forwards, so compile work is shared across every sequence
+    length T (the one-program scan `_chunked_mimo_device` recompiles its
+    whole two-scan body per distinct T — right for fixed-length protocols,
+    wrong for variable-length datasets)."""
+    t = x.shape[1]
+    num_seg, rem = divmod(t, psz)
+    outs = []
+    carries = None
+    future_cur = future
+    for i in range(num_seg):
+        start, end = i * psz, (i + 1) * psz
+        end_new = end + future_cur
+        if end_new > t:
+            # reference behavior: once look-ahead would overrun, disable it
+            # for the rest of the sequence (validation_seq_infer.py:67-69)
+            end_new = end
+            future_cur = 0
+        out, carries = _chunk_forward(params, x[:, start:end_new], cfg,
+                                      carries, future_cur)
+        outs.append(out[0, :psz])
+    if rem > 0:
+        tail = jnp.concatenate(
+            [x[:, num_seg * psz:],
+             jnp.flip(x[:, t - (psz - rem) - 1:t - 1], axis=1)], axis=1)
+        out, _ = _chunk_forward(params, tail, cfg, carries, 0)
+        outs.append(out[0, :rem])
+    return jnp.concatenate(outs, axis=0)
+
+
 def _with_noise_map(seq_thwc, noise_sigma, cfg):
     """Append a constant noise-map channel unless the net is blind."""
     if cfg.blind or noise_sigma is None:
@@ -107,7 +140,7 @@ def _with_noise_map(seq_thwc, noise_sigma, cfg):
 
 def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
                 future_buffer_len=0, mode='mimo', compute_dtype=None,
-                mesh=None, host_chunks=False):
+                mesh=None, host_chunks=False, device_program=False):
     """Denoise a frame sequence.
 
     Args:
@@ -123,8 +156,13 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
             height is sharded across it for multi-chip inference (GSPMD
             partitions the convs with automatic halo exchange over ICI).
         host_chunks: run the chunked protocol as a host-side per-chunk loop
-            (one device sync per chunk) instead of the default single device
-            program; kept as the equivalence oracle for the scan path.
+            (one device sync per chunk); kept as the equivalence oracle.
+        device_program: run the chunked protocol as ONE device program
+            (scan over chunks — fewest dispatches, but the whole program
+            recompiles per distinct T; use for fixed-length protocols).
+            The default is the async per-chunk loop: device-resident
+            outputs, one device->host copy, compile units shared across
+            sequence lengths.
     Returns:
         (T, out_ch, H, W) numpy float32 clamped to [0, 1].
     """
@@ -152,7 +190,8 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
     rem = t % psz
 
     if not host_chunks:
-        den = _chunked_mimo_device(params, x, cfg, psz, future)
+        fn = _chunked_mimo_device if device_program else _chunked_mimo_async
+        den = fn(params, x, cfg, psz, future)
         return np.transpose(np.asarray(den, np.float32), (0, 3, 1, 2))
 
     den = np.empty((t,) + tuple(x.shape[2:4]) + (cfg.out_ch,), np.float32)

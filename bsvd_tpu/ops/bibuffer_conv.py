@@ -144,6 +144,8 @@ def bibuffer_conv_pallas(x, state, w, b, *, fold_div=8, act='relu6', bh=None,
     Returns:
         (y (1, H, W, Cout), new_state (1, H, W, C)).
     """
+    from bsvd_tpu.ops.conv3x3 import check_act
+    check_act(act)
     nt, h, w_, c = x.shape
     assert nt == 1
     cout = w.shape[-1]

@@ -63,7 +63,20 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
 
 
 
-def _epilogue(o_ref, a, act, ps_half=None):
+# Activations the kernel epilogues implement. Entry points raise on anything
+# else (rather than silently skipping the activation); arch-level gates
+# (wnet_arch.KERNEL_ACTS re-exports this) route unsupported acts to XLA.
+KERNEL_ACTS = ('relu', 'relu6', 'none')
+
+
+def check_act(act):
+    if act not in KERNEL_ACTS:
+        raise ValueError(
+            f'Pallas conv kernels implement acts {KERNEL_ACTS}, got {act!r}; '
+            'route this site through the XLA path instead')
+
+
+def _epilogue(o_ref, a, ps_half=None):
     """Write the (bh, w, cout) fp32 accumulator (bias/act already applied).
 
     ``ps_half``: pixel-shuffle-folded write — the conv's output channels
@@ -208,7 +221,7 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, act, ps_half)
+    _epilogue(o_ref, a, ps_half)
 
 
 def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
@@ -292,7 +305,7 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
         a = jnp.maximum(a, 0)
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, act, ps_half)
+    _epilogue(o_ref, a, ps_half)
 
 
 def fold_width_weights(w, b):
@@ -358,6 +371,7 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     Returns:
         (N*T, H, W, Cout) in x.dtype.
     """
+    check_act(act)
     nt, h, w_, c = x.shape
     cout = w.shape[-1]
     if c == 64 and shift == 'none' and w_ % 2 == 0:
@@ -661,11 +675,14 @@ def conv_ps_fold_supported(x_shape, w_shape, dtype):
                     jnp.dtype(dtype).itemsize) is not None
 
 
-def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):
+def conv3x3_supported(x_shape, w_shape, dtype, shift='none', n_in=1):
     """Whether the fused kernel applies on this backend/shape.
 
     Mosaic DMAs need 128-lane granularity: C must be a multiple of 128, or
-    exactly 64 for the plain conv (width-folded to 128)."""
+    exactly 64 for the plain conv (width-folded to 128). ``n_in`` must match
+    the number of inputs the call site passes (a second fused-add input
+    enlarges the VMEM working set, so a block that fits at n_in=1 may not
+    fit at n_in=2)."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
         return False
@@ -681,7 +698,8 @@ def conv3x3_supported(x_shape, w_shape, dtype, shift='none'):
     if c == 64 and shift == 'none' and w_ % 2 == 0:
         c, w_ = 128, w_ // 2
         return _pick_bh(h, w_, c, 2 * w_shape[-1], shift,
-                        itemsize) is not None
+                        itemsize, n_in=n_in) is not None
     if c % 128 != 0:
         return False
-    return _pick_bh(h, w_, c, w_shape[-1], shift, itemsize) is not None
+    return _pick_bh(h, w_, c, w_shape[-1], shift, itemsize,
+                    n_in=n_in) is not None

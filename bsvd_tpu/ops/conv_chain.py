@@ -199,6 +199,9 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
     Returns:
         (NT, H, W, Cout) in x.dtype.
     """
+    from bsvd_tpu.ops.conv3x3 import check_act
+    check_act(act1)
+    check_act(act2)
     nt, h, w_, c = x.shape
     c1 = w1.shape[-1]
     cout = w2.shape[-1]

@@ -163,6 +163,8 @@ def conv_s2_pallas(x, w, b, *, act='relu6', bh=None, interpret=False):
     Returns:
         (NT, H // 2, Wf, Cout) in x.dtype — the NATURAL half-res output.
     """
+    from bsvd_tpu.ops.conv3x3 import check_act
+    check_act(act)
     nt, h, w_, c = x.shape
     cout = w.shape[-1]
     ho = h // 2

@@ -324,10 +324,11 @@ def _sca_bwd(t_len, fold_div, act, causal, res, g):
 shift_conv_add2.defvjp(_sca_fwd, _sca_bwd)
 
 
-def shift_conv_supported(x_shape, w_shape, dtype, norm):
+def shift_conv_supported(x_shape, w_shape, dtype, norm, n_in=1):
     """Whether the fused kernel applies: TPU backend, identity norm (act is
-    fused into the kernel epilogue), a valid row block, bf16/f32."""
+    fused into the kernel epilogue), a valid row block, bf16/f32. ``n_in``
+    must match the call site (2 when the skip-add input is fused)."""
     if norm != 'none':
         return False
     from bsvd_tpu.ops.conv3x3 import conv3x3_supported
-    return conv3x3_supported(x_shape, w_shape, dtype, shift='tsm')
+    return conv3x3_supported(x_shape, w_shape, dtype, shift='tsm', n_in=n_in)

@@ -57,8 +57,15 @@ def init_distributed(coordinator_address=None, num_processes=None,
         num_processes = int(env['SLURM_NTASKS'])
         nodelist = env.get('SLURM_STEP_NODELIST', env.get('SLURM_NODELIST', ''))
         import subprocess
-        head = subprocess.getoutput(
-            f'scontrol show hostname {nodelist} | head -n1').strip()
+        try:
+            out = subprocess.run(['scontrol', 'show', 'hostname', nodelist],
+                                 capture_output=True, text=True, check=True,
+                                 timeout=30).stdout
+            head = out.splitlines()[0].strip() if out.strip() else ''
+        except (OSError, subprocess.SubprocessError):
+            # no usable slurm CLI (e.g. a job step inside a container):
+            # fall through to auto-detection / single-process
+            head = ''
         if head:
             p = port or env.get('BSVD_PORT', 12321)
             coordinator_address = f'{head}:{p}'

@@ -467,3 +467,53 @@ def test_conv_chain_res_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_supported_gate_matches_kernel_block_pick_n_in():
+    """The support gates must size the VMEM working set with the SAME number
+    of inputs the call site passes: a fused skip-add (n_in=2) enlarges the
+    ring buffer ~60%, so a block that fits at n_in=1 may not exist at
+    n_in=2. Regression for the 4K-width crash: gate(n_in=1) said yes while
+    conv3x3_pallas(x, x2) found no row block and raised."""
+    from bsvd_tpu.ops.conv3x3 import _pick_bh
+
+    # the reviewer's failing shape: 4K up1 site (540, 1920, 128) tsm bf16 —
+    # a 1-input block exists, a 2-input block does not
+    assert _pick_bh(540, 1920, 128, 128, 'tsm', 2, n_in=1) is not None
+    assert _pick_bh(540, 1920, 128, 128, 'tsm', 2, n_in=2) is None
+
+    # every gate threads n_in through to _pick_bh (keyword accepted and
+    # effective on both the natural and the C=64 width-folded branch)
+    from bsvd_tpu.ops.conv3x3 import conv3x3_supported
+    from bsvd_tpu.ops.shift_conv import shift_conv_supported
+    conv3x3_supported((1, 540, 1920, 128), (3, 3, 128, 128),
+                      jnp.bfloat16, n_in=2)
+    shift_conv_supported((1, 540, 1920, 128), (3, 3, 128, 128),
+                         jnp.bfloat16, 'none', n_in=2)
+
+    # flagship 540p fused-add sites must still qualify at n_in=2
+    assert _pick_bh(270, 480, 128, 128, 'tsm', 2, n_in=2) is not None
+    assert _pick_bh(540, 480, 128, 128, 'none', 2, n_in=2) is not None
+    assert _pick_bh(135, 240, 256, 256, 'tsm', 2, n_in=2) is not None
+
+
+def test_kernel_entries_reject_unknown_act():
+    """Kernel entry points raise on acts their epilogues do not implement
+    (instead of silently skipping the activation)."""
+    from bsvd_tpu.ops.conv3x3 import conv3x3_pallas
+    from bsvd_tpu.ops.conv_s2 import conv_s2_pallas
+    from bsvd_tpu.ops.conv_chain import conv_chain_pallas
+    from bsvd_tpu.ops.bibuffer_conv import bibuffer_conv_pallas
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * .1, jnp.float32)
+    ws = jnp.asarray(rng.standard_normal((3, 2, 128, 128)) * .1, jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    with pytest.raises(ValueError, match='acts'):
+        conv3x3_pallas(x, w, b, act='gelu', interpret=True)
+    with pytest.raises(ValueError, match='acts'):
+        conv_s2_pallas(x, ws, b, act='gelu', interpret=True)
+    with pytest.raises(ValueError, match='acts'):
+        conv_chain_pallas(x, w, b, w, b, act1='gelu', interpret=True)
+    with pytest.raises(ValueError, match='acts'):
+        bibuffer_conv_pallas(x, x, w, b, act='gelu', interpret=True)

@@ -126,9 +126,14 @@ def test_chunked_device_scan_matches_host_loop(t, psz, future):
     seq = rng.uniform(0, 1, (t, 3, 16, 16)).astype(np.float32)
     host = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
                        future_buffer_len=future, host_chunks=True)
+    # default: async per-chunk loop (device-resident outputs)
     dev = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
                       future_buffer_len=future)
     np.testing.assert_allclose(dev, host, atol=2e-6)
+    # one-program scan variant (fixed-length protocols)
+    prog = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
+                       future_buffer_len=future, device_program=True)
+    np.testing.assert_allclose(prog, host, atol=2e-6)
 
 
 def test_stream_denoiser_push_block_matches_push():
