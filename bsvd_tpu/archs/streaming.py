@@ -340,8 +340,13 @@ def _pair_folded_stream(p1, p2, x_f, act, act_name2, kernel_act, x2_f=None):
                             kernel_act=act_name2 if kernel_act else None)
 
 
-def _up_conv_ps_stream(conv_p, x, act):
-    """Per-frame up conv (Pallas when supported) + XLA pixel shuffle."""
+def _up_conv_ps_stream(conv_p, x, act, use_k=True):
+    """Per-frame up conv (Pallas when supported AND fused kernels enabled —
+    ``use_k=False`` honors cfg.use_fused's opt-out) + XLA pixel shuffle.
+    The up conv carries no norm/activation (reference UpBlock: conv +
+    shuffle only, wnet_models.py UpBlock)."""
+    if not use_k:
+        return pixel_shuffle(conv2d(conv_p, x), 2)
     return pixel_shuffle(_conv_act_fused(conv_p, 'none', None, act, x,
                                          'none'), 2)
 
@@ -452,7 +457,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
                                         x2, v2, fd, causal, assume_filled,
                                         an)
-    x2 = _up_conv_ps_stream(u['conv'], x2, act)
+    x2 = _up_conv_ps_stream(u['conv'], x2, act, use_k=an is not None)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
@@ -492,7 +497,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         out_f = jnp.where(lane_is_res, xpad - yf, yf)
         return new_st, out_f if fold_io else _unfold2s(out_f), v1u
 
-    x1u = _up_conv_ps_stream(u['conv'], x1u, act)
+    x1u = _up_conv_ps_stream(u['conv'], x1u, act, use_k=an is not None)
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
     y = act(norm_apply(norm, o['n1'],
                        conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))

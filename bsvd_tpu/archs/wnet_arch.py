@@ -412,14 +412,6 @@ def _down_folded(conv_p, norm_p, x_f, cfg, act):
     return act(norm_apply(cfg.norm, norm_p, y))
 
 
-def _slice_folded_channels(x_f, c, lo, hi):
-    """x_f folded with per-half channel count ``c``: take original
-    channels [lo, hi) of each half -> folded (.., 2*(hi-lo))."""
-    n, t, h, wf, _ = x_f.shape
-    v = x_f.reshape(n, t, h, wf, 2, c)[..., lo:hi]
-    return v.reshape(n, t, h, wf, 2 * (hi - lo))
-
-
 def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     """DenBlock stage with the full-res segment in the folded domain.
     Mirrors _stage_apply exactly (same site order/semantics).

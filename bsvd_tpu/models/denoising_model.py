@@ -102,14 +102,19 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
         # the GSPMD path (their fused kernels are gated off anyway, and
         # batch stats there are computed over the GLOBAL batch).
         import functools
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map          # jax >= 0.8
+            relax = {'check_vma': False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            relax = {'check_rep': False}       # pre-0.8 spelling
         from jax.sharding import PartitionSpec as P
 
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P('data'), P('data')),
             out_specs=(P(), P()),
-            check_rep=False)
+            **relax)
         def sharded_grads(p, lq, gt):
             grads, loss_dict, _ = grads_and_losses(p, lq, gt)
             grads = jax.lax.pmean(grads, 'data')

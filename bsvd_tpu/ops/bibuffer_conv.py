@@ -23,7 +23,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_COL0 = 8
+from bsvd_tpu.ops._tile import COL0 as _COL0, dots9, halo_row_dmas, zero_halo
 
 
 def _pick_bh(h, w, c, cout, itemsize=2, vmem_budget=15 * 1024 * 1024):
@@ -45,28 +45,12 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
                   bh, h, w, c, cout, fold, act, causal=False):
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
-    wp = w + 2 * _COL0
 
     def block_dmas(blk, slot):
-        row0 = blk * bh
         out = []
         for i, src_hbm in enumerate((x_hbm, s_hbm)):
-            src = src_hbm.at[0]
-            dst = ring.at[slot, i]
-            out += [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(row0, bh), :, :],
-                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 0]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 1]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 2]),
-            ]
+            out += halo_row_dmas(src_hbm.at[0], ring.at[slot, i], sems,
+                                 (slot, i), blk * bh, bh, h, w)
         return out
 
     def start(blk):
@@ -85,17 +69,7 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
     for d in block_dmas(hb, slot):
         d.wait()
     for i in range(2):
-        @pl.when(hb == 0)
-        def _(i=i):
-            ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
-
-        @pl.when(hb == nhb - 1)
-        def _(i=i):
-            ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
-        ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
-                                                      ring.dtype)
-        ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
-                                                              ring.dtype)
+        zero_halo(ring, slot, i, hb, nhb, bh, w, c)
 
     xt = ring[slot, 0]
     st = ring[slot, 1]
@@ -106,19 +80,7 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
     else:
         tile = jnp.concatenate([xt[:, :, :fold], st[:, :, :fold],
                                 st[:, :, 2 * fold:]], axis=-1)
-    a = jnp.zeros((bh, w, cout), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            patch = tile[ky:ky + bh, _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
-            a = a + lax.dot_general(
-                patch, w_ref[ky, kx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    a = a + b_ref[...].astype(jnp.float32)
-    if act == 'relu':
-        a = jnp.maximum(a, 0)
-    elif act == 'relu6':
-        a = jnp.clip(a, 0, 6)
+    a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
     y_ref[...] = a.astype(y_ref.dtype)[None]
     if causal:
         # next left = x[:2f] (kept C-lane padded; tail lanes are don't-care

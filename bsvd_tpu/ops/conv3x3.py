@@ -27,7 +27,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_COL0 = 8          # data column offset inside the tile (sublane alignment)
+from bsvd_tpu.ops._tile import COL0 as _COL0, dots9, halo_row_dmas, zero_halo
 
 
 def _ring_size(shift):
@@ -108,31 +108,14 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
     nring = _ring_size(shift)
     lookahead = 2 if shift != 'none' else 1
     row0 = hb * bh
-    wp = w + 2 * _COL0
 
     def frame_dmas(frame, slot):
-        """Three unconditional clamped copies per input for one frame tile:
-        main rows -> dst [1, bh+1), one-row top/bottom halos -> dst 0 and
-        bh+1 (clamped at image boundaries; fix_halo zeroes those rows)."""
+        """Clamped copies per input for one frame tile (see _tile)."""
         f_idx = jnp.clip(frame, 0, nt - 1)
         out = []
         for i, x_hbm in enumerate(xs):
-            src = x_hbm.at[f_idx]
-            dst = ring.at[slot, i]
-            out += [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(row0, bh), :, :],
-                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 0]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 1]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 2]),
-            ]
+            out += halo_row_dmas(x_hbm.at[f_idx], ring.at[slot, i], sems,
+                                 (slot, i), row0, bh, h, w)
         return out
 
     def start(frame):
@@ -143,21 +126,8 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
         slot = frame % nring
         for d in frame_dmas(frame, slot):
             d.wait()
-        # zero rows the clamped halo DMAs filled with in-image garbage
         for i in range(n_in):
-            @pl.when(hb == 0)
-            def _(i=i):
-                ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
-
-            @pl.when(hb == nhb - 1)
-            def _(i=i):
-                ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c),
-                                                         ring.dtype)
-            # 3x3 column halo
-            ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
-                                                          ring.dtype)
-            ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros(
-                (bh + 2, 1, c), ring.dtype)
+            zero_halo(ring, slot, i, hb, nhb, bh, w, c)
 
     @pl.when(t == 0)
     def _():   # prologue for this row block
@@ -208,20 +178,7 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
             head = jnp.concatenate([f1, f2], axis=-1)
         tile = jnp.concatenate([head, cur[:, :, 2 * fold:]], axis=-1)
 
-    a = jnp.zeros((bh, w, cout), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            patch = tile[ky:ky + bh, _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
-            a = a + lax.dot_general(
-                patch, w_ref[ky, kx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    a = a + b_ref[...].astype(jnp.float32)
-    if act == 'relu':
-        a = jnp.maximum(a, 0)
-    elif act == 'relu6':
-        a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, ps_half)
+    _epilogue(o_ref, dots9(tile, w_ref, b_ref, bh, w, _COL0, act), ps_half)
 
 
 def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
@@ -235,29 +192,13 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
-    wp = w + 2 * _COL0
 
     def block_dmas(blk, slot):
-        """Clamped copies for row-block ``blk``: main rows + 1-row halos."""
-        row0 = blk * bh
+        """Clamped copies for row-block ``blk`` (see _tile)."""
         out = []
         for i, x_hbm in enumerate(xs):
-            src = x_hbm.at[0]
-            dst = ring.at[slot, i]
-            out += [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(row0, bh), :, :],
-                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 0]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 1]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 2]),
-            ]
+            out += halo_row_dmas(x_hbm.at[0], ring.at[slot, i], sems,
+                                 (slot, i), blk * bh, bh, h, w)
         return out
 
     def start(blk):
@@ -275,37 +216,13 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
     slot = hb % 2
     for d in block_dmas(hb, slot):
         d.wait()
-    # zero the rows the clamped halo DMAs filled with in-image garbage
     for i in range(n_in):
-        @pl.when(hb == 0)
-        def _(i=i):
-            ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
-
-        @pl.when(hb == nhb - 1)
-        def _(i=i):
-            ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c), ring.dtype)
-        ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
-                                                      ring.dtype)
-        ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros((bh + 2, 1, c),
-                                                              ring.dtype)
+        zero_halo(ring, slot, i, hb, nhb, bh, w, c)
 
     tile = ring[slot, 0]
     for i in range(1, n_in):
         tile = tile + ring[slot, i]
-    a = jnp.zeros((bh, w, cout), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            patch = tile[ky:ky + bh, _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
-            a = a + lax.dot_general(
-                patch, w_ref[ky, kx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    a = a + b_ref[...].astype(jnp.float32)
-    if act == 'relu':
-        a = jnp.maximum(a, 0)
-    elif act == 'relu6':
-        a = jnp.clip(a, 0, 6)
-    _epilogue(o_ref, a, ps_half)
+    _epilogue(o_ref, dots9(tile, w_ref, b_ref, bh, w, _COL0, act), ps_half)
 
 
 def fold_width_weights(w, b):

@@ -24,7 +24,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_COL0 = 8          # data column offset inside the input tile
+from bsvd_tpu.ops._tile import COL0 as _COL0, dots9, halo_row_dmas, zero_halo
 
 
 def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
@@ -47,23 +47,6 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
     return None
 
 
-def _dots9(tile, w_ref, b_ref, bh, w, col0, act):
-    a = jnp.zeros((bh, w, w_ref.shape[-1]), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            patch = tile[ky:ky + bh, col0 - 1 + kx:col0 - 1 + kx + w, :]
-            a = a + lax.dot_general(
-                patch, w_ref[ky, kx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    a = a + b_ref[...].astype(jnp.float32)
-    if act == 'relu':
-        a = jnp.maximum(a, 0)
-    elif act == 'relu6':
-        a = jnp.clip(a, 0, 6)
-    return a
-
-
 def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
                   res_ch=None):
     xs = refs[:n_in]
@@ -77,7 +60,6 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
     t = pl.program_id(0)
     hb = pl.program_id(1)
     nhb = pl.num_programs(1) - 1
-    wp = w + 2 * _COL0
     k = t * nhb + hb                      # global tile counter (hb < nhb)
 
     def res_dma(kk, slot):
@@ -96,22 +78,8 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
         row0 = (kk % nhb) * bh
         out = []
         for i, x_hbm in enumerate(xs):
-            src = x_hbm.at[tt]
-            dst = ring.at[slot, i]
-            out += [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(row0, bh), :, :],
-                    dst.at[pl.ds(1, bh), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 0]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.maximum(row0 - 1, 0), 1), :, :],
-                    dst.at[pl.ds(0, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 1]),
-                pltpu.make_async_copy(
-                    src.at[pl.ds(jnp.minimum(row0 + bh, h - 1), 1), :, :],
-                    dst.at[pl.ds(bh + 1, 1), pl.ds(_COL0, w), :],
-                    sems.at[slot, i, 2]),
-            ]
+            out += halo_row_dmas(x_hbm.at[tt], ring.at[slot, i], sems,
+                                 (slot, i), row0, bh, h, w)
         return out
 
     def start(kk):
@@ -136,23 +104,12 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
         for d in tile_dmas(k, slot):
             d.wait()
         for i in range(n_in):
-            @pl.when(hb == 0)
-            def _(i=i):
-                ring[slot, i, 0:1] = jnp.zeros((1, wp, c), ring.dtype)
-
-            @pl.when(hb == nhb - 1)
-            def _(i=i):
-                ring[slot, i, bh + 1:bh + 2] = jnp.zeros((1, wp, c),
-                                                         ring.dtype)
-            ring[slot, i, :, _COL0 - 1:_COL0] = jnp.zeros((bh + 2, 1, c),
-                                                          ring.dtype)
-            ring[slot, i, :, _COL0 + w:_COL0 + w + 1] = jnp.zeros(
-                (bh + 2, 1, c), ring.dtype)
+            zero_halo(ring, slot, i, hb, nhb, bh, w, c)
 
         tile = ring[slot, 0]
         for i in range(1, n_in):
             tile = tile + ring[slot, i]
-        a1 = _dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act1)
+        a1 = dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act1)
         islot = hb % 3
         interm[islot, :, 1:w + 1, :] = a1.astype(interm.dtype)
         interm[islot, :, 0:1, :] = jnp.zeros((bh, 1, c1), interm.dtype)
@@ -169,7 +126,7 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
         bot = interm[hb % 3, 0:1]
         bot = jnp.where(hb < nhb, bot, jnp.zeros_like(bot))
         itile = jnp.concatenate([top, mid, bot], axis=0)   # (bh+2, w+2, c1)
-        a2 = _dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
+        a2 = dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
         if res_ch is not None:
             # per-stage residual fused into the epilogue: the first res_ch
             # lanes of each folded half become x_res - y (reference

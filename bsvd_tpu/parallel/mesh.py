@@ -52,7 +52,12 @@ def init_distributed(coordinator_address=None, num_processes=None,
         coordinator_address = env['BSVD_COORDINATOR']
         num_processes = int(env.get('BSVD_NUM_PROCESSES', num_processes or 1))
         process_id = int(env.get('BSVD_PROCESS_ID', process_id or 0))
-    if coordinator_address is None and 'SLURM_PROCID' in env:
+    if (coordinator_address is None and 'SLURM_PROCID' in env
+            and int(env.get('SLURM_NTASKS', '1')) > 1):
+        # single-task slurm jobs (srun -n1) skip distributed init entirely:
+        # auto-binding a default-port coordinator would collide between
+        # unrelated jobs sharing a node (the reference's dist_util is
+        # likewise launcher-opt-in). Explicit BSVD_COORDINATOR still works.
         process_id = int(env['SLURM_PROCID'])
         num_processes = int(env['SLURM_NTASKS'])
         nodelist = env.get('SLURM_STEP_NODELIST', env.get('SLURM_NODELIST', ''))

@@ -183,3 +183,34 @@ def test_streaming_fold_io_path_matches_mimo_cpu(monkeypatch):
     outs.extend(np.asarray(o) for o in sd.flush())
     np.testing.assert_allclose(np.stack(outs, axis=1), mimo,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_use_fused_false_dispatches_no_pallas(monkeypatch):
+    """cfg.use_fused=False is the documented escape hatch: under a (faked)
+    TPU backend, tracing the per-frame step must produce ZERO pallas_call
+    equations — every conv site (including the up-path convs, which carry
+    no activation and previously bypassed the gate) falls back to XLA."""
+    import types
+    import bsvd_tpu.archs.streaming as streaming_mod
+
+    fake_dev = types.SimpleNamespace(platform='tpu')
+    monkeypatch.setattr(jax, 'devices', lambda *a, **k: [fake_dev])
+    monkeypatch.setattr(streaming_mod, '_on_tpu', lambda: True)
+
+    def n_pallas_eqns(cfg, h, w):
+        from bsvd_tpu.archs.streaming import stream_init, stream_step
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                              wnet_init(jax.random.PRNGKey(0), cfg))
+        state = stream_init(cfg, 1, h, w, jnp.bfloat16)
+        x = jnp.zeros((1, h, w, cfg.effective_in_ch), jnp.bfloat16)
+        jaxpr = jax.make_jaxpr(
+            lambda p, s, x: stream_step(p, s, x, True, cfg,
+                                        assume_filled=True))(params, state, x)
+        return jaxpr.pretty_print().count('pallas_call')
+
+    kw = dict(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
+              norm='none', act='relu6', shift_mode='TSM')
+    # positive control: the fused config at a kernel-qualifying resolution
+    # does trace pallas calls (otherwise this test can't catch regressions)
+    assert n_pallas_eqns(WNetConfig(use_fused=True, **kw), 144, 256) > 0
+    assert n_pallas_eqns(WNetConfig(use_fused=False, **kw), 144, 256) == 0
