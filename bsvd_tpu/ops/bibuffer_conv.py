@@ -47,10 +47,11 @@ def _kernel_bibuf(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems, *,
     nhb = pl.num_programs(0)
 
     def block_dmas(blk, slot):
+        row0 = blk * bh
         out = []
         for i, src_hbm in enumerate((x_hbm, s_hbm)):
             out += halo_row_dmas(src_hbm.at[0], ring.at[slot, i], sems,
-                                 (slot, i), blk * bh, bh, h, w)
+                                 (slot, i), row0, bh, h, w)
         return out
 
     def start(blk):

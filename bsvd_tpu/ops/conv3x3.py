@@ -195,10 +195,11 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
 
     def block_dmas(blk, slot):
         """Clamped copies for row-block ``blk`` (see _tile)."""
+        row0 = blk * bh
         out = []
         for i, x_hbm in enumerate(xs):
             out += halo_row_dmas(x_hbm.at[0], ring.at[slot, i], sems,
-                                 (slot, i), blk * bh, bh, h, w)
+                                 (slot, i), row0, bh, h, w)
         return out
 
     def start(blk):
