@@ -132,17 +132,17 @@ class BasicVSR:
 def edvr_feature_extractor_init(key, num_input_frame, num_feat=64,
                                 deformable_groups=8):
     from bsvd_tpu.archs.edvr_arch import pcd_alignment_init, tsa_fusion_init
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 12)
     return {
         'conv_first': conv_init(keys[0], 3, num_feat, 3, True),
         'feature_extraction': {str(i): res_block_init(keys[1 + i], num_feat)
                                for i in range(5)},
         'conv_l2_1': conv_init(keys[6], num_feat, num_feat, 3, True),
-        'conv_l2_2': conv_init(keys[6], num_feat, num_feat, 3, True),
-        'conv_l3_1': conv_init(keys[7], num_feat, num_feat, 3, True),
-        'conv_l3_2': conv_init(keys[7], num_feat, num_feat, 3, True),
-        'pcd_align': pcd_alignment_init(keys[3], num_feat, deformable_groups),
-        'fusion': tsa_fusion_init(keys[4], num_feat, num_input_frame),
+        'conv_l2_2': conv_init(keys[7], num_feat, num_feat, 3, True),
+        'conv_l3_1': conv_init(keys[8], num_feat, num_feat, 3, True),
+        'conv_l3_2': conv_init(keys[9], num_feat, num_feat, 3, True),
+        'pcd_align': pcd_alignment_init(keys[10], num_feat, deformable_groups),
+        'fusion': tsa_fusion_init(keys[11], num_feat, num_input_frame),
     }
 
 

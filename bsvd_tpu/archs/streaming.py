@@ -101,8 +101,9 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
     if causal:
         # out_t = conv([x_{t-1}[:2f], x_t[2f:]]) — operate on the live frame.
         B = state['packed']
+        from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
         if (_is_true(valid) and norm == 'none'
-                and act_name in ('relu', 'relu6', 'none') and 'b' in conv_p):
+                and act_name in KERNEL_ACTS and 'b' in conv_p):
             from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
                                                     bibuffer_conv_supported)
             if bibuffer_conv_supported(x.shape, conv_p['w'].shape, x.dtype):
@@ -119,8 +120,9 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
                  'has_center': state['has_center']}, out, valid)
 
     B = state['packed']                      # [left, center[f:]]
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
     if (_is_true(valid) and assume_filled and norm == 'none'
-            and act_name in ('relu', 'relu6', 'none') and 'b' in conv_p):
+            and act_name in KERNEL_ACTS and 'b' in conv_p):
         # steady-state client path: the whole step is ONE fused kernel —
         # input assembly, 9 MXU dots, act, and the next packed state
         from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,

@@ -421,7 +421,6 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     avoids the unfold/refold reshape pair at stage boundaries, which XLA
     materializes as two full-tensor layout copies (~4.5 ms on the 540p
     flagship trace) instead of cancelling."""
-    from bsvd_tpu.nn.layers import pixel_shuffle
     if fold_io:
         xf = x
         in_ch = x.shape[-1] // 2
@@ -515,7 +514,6 @@ def _stage_apply(p, x, cfg, act, shift_fns=None):
     """One DenBlock stage. ``shift_fns``: optional list of per-shift-site
     closures (used by chunked inference to thread carries); consumed in call
     order via a mutable iterator."""
-    from bsvd_tpu.nn.layers import pixel_shuffle
     if shift_fns is None and _folded_stems_ok(x, cfg):
         return _stage_apply_folded(p, x, cfg, act)
 
@@ -639,6 +637,16 @@ def _nthwc_to_nfchw(x):
     return jnp.transpose(x, (0, 1, 4, 2, 3))
 
 
+def _warn_unknown_opts(where, extra):
+    """Unknown network options (typos, unsupported knobs) are logged instead
+    of silently dropped — a misspelled ``use_fused``/``residual_ch`` should
+    not vanish without trace."""
+    if extra:
+        from bsvd_tpu.utils import get_root_logger
+        get_root_logger().warning(
+            f'{where}: ignoring unknown network option(s) {sorted(extra)}')
+
+
 class _WNetBase:
     """Holds (cfg, params); callable with reference layout (N, F, C, H, W)."""
 
@@ -683,26 +691,30 @@ class TSN(_WNetBase):
     def __init__(self, num_segments=11, base_model='WNet_multistage',
                  shift_type='TSM', shift_div=8, inplace=False, net2d_opt=None,
                  enable_past_buffer=True, seed=0, param_dtype=jnp.float32, **kwargs):
-        del inplace, kwargs
+        del inplace
+        _warn_unknown_opts('TSN', kwargs)
         if base_model != 'WNet_multistage':
             raise NotImplementedError(f'base_model {base_model!r}')
         net2d_opt = dict(net2d_opt or {})
         shift_mode = 'none' if shift_type == 'no_temporal_shift' else shift_type
         cfg = WNetConfig(
-            chns=tuple(net2d_opt.get('chns', (32, 64, 128))),
-            mid_ch=net2d_opt.get('mid_ch', 3),
-            in_ch=net2d_opt.get('in_ch', 4),
-            out_ch=net2d_opt.get('out_ch', 3),
-            stage_num=net2d_opt.get('stage_num', 2),
-            interm_ch=net2d_opt.get('interm_ch', 30),
-            norm=net2d_opt.get('norm', 'bn'),
-            act=net2d_opt.get('act', 'relu'),
-            blind=net2d_opt.get('blind', False),
-            shift_input=net2d_opt.get('shift_input', False),
+            chns=tuple(net2d_opt.pop('chns', (32, 64, 128))),
+            mid_ch=net2d_opt.pop('mid_ch', 3),
+            in_ch=net2d_opt.pop('in_ch', 4),
+            out_ch=net2d_opt.pop('out_ch', 3),
+            stage_num=net2d_opt.pop('stage_num', 2),
+            interm_ch=net2d_opt.pop('interm_ch', 30),
+            norm=net2d_opt.pop('norm', 'bn'),
+            act=net2d_opt.pop('act', 'relu'),
+            bias=net2d_opt.pop('bias', True),
+            blind=net2d_opt.pop('blind', False),
+            shift_input=net2d_opt.pop('shift_input', False),
             shift_mode=shift_mode,
             fold_div=shift_div,
-            residual_ch=net2d_opt.get('residual_ch', 3),
+            residual_ch=net2d_opt.pop('residual_ch', 3),
+            use_fused=net2d_opt.pop('use_fused', True),
         )
+        _warn_unknown_opts('TSN net2d_opt', net2d_opt)
         self.num_segments = num_segments
         self.enable_past_buffer = enable_past_buffer
         super().__init__(cfg, seed=seed, param_dtype=param_dtype)
@@ -722,13 +734,14 @@ class BSVD(_WNetBase):
     def __init__(self, chns=(32, 64, 128), mid_ch=3, shift_input=False,
                  in_ch=4, out_ch=3, norm='bn', act='relu', interm_ch=30,
                  blind=False, pretrain_ckpt=None, shift_mode='TSM',
-                 residual_ch=3, seed=0, param_dtype=jnp.float32, **kwargs):
-        del kwargs
+                 residual_ch=3, use_fused=True, bias=True, seed=0,
+                 param_dtype=jnp.float32, **kwargs):
+        _warn_unknown_opts('BSVD', kwargs)
         cfg = WNetConfig(
             chns=tuple(chns), mid_ch=mid_ch, in_ch=in_ch, out_ch=out_ch,
-            interm_ch=interm_ch, norm=norm, act=act, blind=blind,
+            interm_ch=interm_ch, norm=norm, act=act, bias=bias, blind=blind,
             shift_input=shift_input, shift_mode=shift_mode,
-            residual_ch=residual_ch)
+            residual_ch=residual_ch, use_fused=use_fused)
         super().__init__(cfg, seed=seed, param_dtype=param_dtype)
         if pretrain_ckpt is not None:
             self.load(pretrain_ckpt)

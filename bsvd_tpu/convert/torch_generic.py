@@ -10,12 +10,19 @@ import numpy as np
 
 def _to_tree_leaf(name, arr):
     arr = np.asarray(arr)
-    if name == 'weight':
+    if name in ('weight', 'weight_orig'):
+        # 'weight_orig' is torch spectral_norm's stored weight — our SN
+        # layers keep the raw weight under 'w' and re-run the power
+        # iteration themselves (discriminator_arch.py)
         if arr.ndim == 4:
             return 'w', np.transpose(arr, (2, 3, 1, 0))
         if arr.ndim == 2:
             return 'w', np.transpose(arr, (1, 0))
         return 'w', arr          # norm scale
+    if name == 'weight_u':
+        return 'u', arr          # persistent power-iteration vector
+    if name == 'weight_v':
+        return None, None        # recomputed from (w, u); not carried
     if name == 'bias':
         return 'b', arr
     return name, arr
@@ -40,6 +47,8 @@ def state_dict_to_tree(state, dtype=np.float32):
         key = key[len('module.'):] if key.startswith('module.') else key
         *path, leaf = key.split('.')
         leaf_name, arr = _to_tree_leaf(leaf, val)
+        if leaf_name is None:
+            continue
         node = tree
         for p in path:
             node = node.setdefault(p, {})

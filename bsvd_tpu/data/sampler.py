@@ -76,6 +76,7 @@ class BatchLoader:
         return idx.tolist()
 
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
         indices = self._indices()
         if self.drop_last:
             indices = indices[:len(indices) // self.batch_size * self.batch_size]
@@ -83,27 +84,56 @@ class BatchLoader:
         n_batches = len(indices) // self.batch_size if self.drop_last else \
             (len(indices) + self.batch_size - 1) // self.batch_size
 
-        def producer():
-            for b in range(n_batches):
-                chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = [self.dataset[i] for i in chunk]
-                batch = {}
-                for key in samples[0]:
-                    vals = [s[key] for s in samples]
-                    if isinstance(vals[0], np.ndarray):
-                        batch[key] = np.stack(vals)
-                    else:
-                        batch[key] = vals
-                out_q.put(batch)
-            out_q.put(None)
+        # Parallel __getitem__ is OPT-IN: datasets sharing one FileClient
+        # socket (memcached) or one RNG across items are not thread-safe,
+        # and interleaved RNG calls break manual_seed reproducibility — a
+        # dataset that uses per-item seeding and reentrant IO declares
+        # ``supports_parallel_read = True`` to enable the pool (the torch
+        # num_workers analogue). Otherwise items decode serially on the
+        # producer thread (still overlapped with device compute).
+        parallel = (self.num_workers > 1
+                    and getattr(self.dataset, 'supports_parallel_read', False))
 
-        t = threading.Thread(target=producer, daemon=True)
+        def fetch(pool, chunk):
+            if pool is not None:
+                return list(pool.map(self.dataset.__getitem__, chunk))
+            return [self.dataset[i] for i in chunk]
+
+        def producer(pool):
+            # any dataset error is forwarded to the consumer (never skip the
+            # terminator — a dead producer would hang the training loop)
+            try:
+                for b in range(n_batches):
+                    chunk = indices[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                    samples = fetch(pool, chunk)
+                    batch = {}
+                    for key in samples[0]:
+                        vals = [s[key] for s in samples]
+                        if isinstance(vals[0], np.ndarray):
+                            batch[key] = np.stack(vals)
+                        else:
+                            batch[key] = vals
+                    out_q.put(batch)
+                out_q.put(None)
+            except BaseException as e:   # noqa: BLE001 — re-raised below
+                out_q.put(e)
+
+        pool = (ThreadPoolExecutor(max_workers=self.num_workers)
+                if parallel else None)
+        t = threading.Thread(target=producer, args=(pool,), daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         self.epoch += 1
         if self.sampler is not None:
             self.sampler.set_epoch(self.epoch)

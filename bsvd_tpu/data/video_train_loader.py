@@ -72,6 +72,8 @@ class _ClipIndex:
                 frames = []
                 for f in files:
                     img = cv2.imread(f)
+                    if img is None:            # truncated/corrupt frame
+                        raise IOError(f'decode failed for {f}')
                     frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
                 seq = np.stack(frames)
         else:
@@ -122,7 +124,9 @@ def normalize_augment(batch, rng):
             x = np.rot90(x, k=k, axes=(2, 3))
         if flip:
             x = np.flip(x, axis=2)
-    x = np.ascontiguousarray(x).reshape(n, f, c, h, w)
+    # rot90 k=1/3 swaps the spatial dims — reshape with the ACTUAL trailing
+    # dims, not the input's (h, w), so rectangular patches stay intact
+    x = np.ascontiguousarray(x).reshape(n, f, c, *x.shape[-2:])
     return x, x
 
 
@@ -146,11 +150,17 @@ class train_video_loader:
         self.seq_len = int(opt['temp_patch_size'])
         ps = opt['patch_size']
         self.crop_hw = (ps[0], ps[1]) if isinstance(ps, (list, tuple)) else (ps, ps)
-        self.epoch_size = int(opt.get('max_number_patches', -1))
+        # max_number_patches counts PATCHES (samples) per epoch, like the
+        # reference DALI iterator's size= (video_dali_dataset.py:88-143);
+        # train.py consumes len(loader) as iterations per epoch, so divide
+        # by the global batch (reference: ceil(len(set)/batch*world),
+        # train_pipeline.py:49-50 — 300000/16 = 18750 iters/epoch).
+        patches = int(opt.get('max_number_patches', -1))
         self.index = _ClipIndex(opt['trainset_dir'])
-        if self.epoch_size <= 0:
+        if patches <= 0:
             total = sum(n for _, _, n in self.index.entries)
-            self.epoch_size = max(total // self.seq_len, 1)
+            patches = max(total // self.seq_len, 1)
+        self.epoch_size = max(-(-patches // self.batch_size), 1)
 
         self.rng = np.random.default_rng(opt.get('manual_seed', 12))
         self._prefetch_size = int(opt.get('prefetch_size', 16))
@@ -175,7 +185,9 @@ class train_video_loader:
         while not self._stop.is_set():
             try:
                 window = self.index.sample(rng, self.seq_len, self.crop_hw)
-            except IOError:
+            except (IOError, cv2.error):
+                # skip undecodable windows (corrupt frame, short clip) —
+                # the worker stays alive and draws another sample
                 continue
             # (T, H, W, 3) uint8 -> (T, 3, H, W)
             sample = np.transpose(window, (0, 3, 1, 2))

@@ -95,17 +95,39 @@ class WeightedTVLoss(L1Loss):
 
 @LOSS_REGISTRY.register()
 class PSNRLoss:
-    """Negative PSNR (maximizing PSNR directly)."""
+    """Negative PSNR (maximizing PSNR directly; BasicSR's NAFNet-era
+    PSNRLoss semantics): scale * mean_over_batch(log(per-image MSE)) —
+    the per-image log BEFORE the batch mean matters for both the value and
+    the gradient (Jensen gap) — with optional Y-channel conversion of
+    [0, 1] inputs (ITU-R BT.601 coefficients)."""
 
     def __init__(self, loss_weight=1.0, reduction='mean', to_y=False):
-        del reduction
+        assert reduction == 'mean', 'PSNRLoss only implements mean reduction'
         self.loss_weight = loss_weight
         self.to_y = to_y
+        import math
+        self.scale = 10.0 / math.log(10.0)
+
+    @staticmethod
+    def _rgb_to_y(x):
+        coef = jnp.asarray([65.481, 128.553, 24.966], x.dtype)
+        if x.shape[-1] == 3:                           # channels-last
+            y = (x * coef).sum(-1, keepdims=True)
+        elif x.ndim >= 3 and x.shape[1] == 3:          # NCHW(-like)
+            c = coef.reshape(1, 3, *([1] * (x.ndim - 2)))
+            y = (x * c).sum(1, keepdims=True)
+        else:
+            raise ValueError('to_y needs a 3-channel axis at 1 or -1, '
+                             f'got shape {x.shape}')
+        return (y + 16.0) / 255.0
 
     def __call__(self, pred, target, weight=None):
         del weight
-        mse = jnp.mean(jnp.square(pred - target))
-        return self.loss_weight * 10.0 * jnp.log10(mse + 1e-12)
+        if self.to_y:
+            pred, target = self._rgb_to_y(pred), self._rgb_to_y(target)
+        axes = tuple(range(1, pred.ndim))
+        mse = jnp.mean(jnp.square(pred - target), axis=axes)
+        return self.loss_weight * self.scale * jnp.mean(jnp.log(mse + 1e-8))
 
 
 @LOSS_REGISTRY.register()

@@ -3,8 +3,8 @@ reference math: BasicSR/basicsr/metrics/niqe.py:13-200).
 
 The metric needs the pristine-MVG parameter file (mu/cov estimated on the
 official pristine dataset; not re-derivable without it). The file is located
-via, in order: the ``niqe_pris_params`` kwarg, ``$BSVD_NIQE_PARAMS``, a copy
-next to this module, or the read-only reference checkout. The 7x7 Gaussian
+via, in order: the ``niqe_pris_params`` kwarg, ``$BSVD_NIQE_PARAMS``, or a
+copy next to this module. The 7x7 Gaussian
 window is computed directly (MATLAB fspecial('gaussian', 7, 7/6)).
 """
 
@@ -22,7 +22,6 @@ from bsvd_tpu.utils.registry import METRIC_REGISTRY
 
 _PARAM_SEARCH = (
     os.path.join(os.path.dirname(os.path.abspath(__file__)), 'niqe_pris_params.npz'),
-    '/root/reference/BasicSR/basicsr/metrics/niqe_pris_params.npz',
 )
 
 

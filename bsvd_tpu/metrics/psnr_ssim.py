@@ -100,7 +100,13 @@ def calculate_ssim(img, img2, crop_border, input_order='HWC', test_y_channel=Fal
 def calculate_psnr_float(img_float, img2_float, crop_border, input_order='CHW',
                          test_y_channel=False, **kwargs):
     """PSNR of float arrays in [0, 1] (reference psnr_ssim.py:130-168; the
-    reference takes torch tensors — here any array-like works)."""
+    reference takes torch tensors — here any array-like works).
+
+    NOTE test_y_channel=True reproduces the reference's quirk verbatim:
+    to_y_channel expects [0, 255] input, so [0, 1] floats get divided by
+    255 again and the resulting Y-PSNR is inflated (reference
+    psnr_ssim.py:161-163 has the identical behavior). Kept bit-faithful;
+    no shipped config enables it on the float metric."""
     img = reorder_image(np.asarray(img_float, np.float64), input_order)
     img2 = reorder_image(np.asarray(img2_float, np.float64), input_order)
     assert img.shape == img2.shape, f'Image shapes differ: {img.shape} vs {img2.shape}.'

@@ -136,7 +136,20 @@ class BaseModel:
         return save_path
 
     def resume_training(self, resume_state):
-        raise NotImplementedError
+        """Restore the optimizer state saved by save_training_state. LR
+        schedules here are pure functions of the iter counter, so there is
+        no scheduler state to restore (reference base_model.py:315-328
+        restores both; the BSVD override deliberately skips schedulers,
+        denoising_model.py:384-397). Models with extra optimizers
+        (e.g. StyleGAN2's D) override this."""
+        opt_state = resume_state.get('opt_state')
+        if opt_state is not None:
+            ref = jax.tree.leaves(self.opt_state)
+            flat = jax.tree.leaves(opt_state)
+            assert len(ref) == len(flat), 'optimizer state mismatch'
+            self.opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.opt_state),
+                [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
 
     # ---- loss reduction -------------------------------------------------
     def reduce_loss_dict(self, loss_dict):

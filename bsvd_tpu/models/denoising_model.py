@@ -127,9 +127,8 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_params is not None:
-                ema_params = jax.tree.map(
-                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                    ema_params, params)
+                ema_params = BaseModel.ema_update(ema_params, params,
+                                                  ema_decay)
             return params, opt_state, ema_params, loss_dict
 
         return step
@@ -144,9 +143,7 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
             params = bn_fold_running_stats(
                 params, [(p, m, v, n) for p, (m, v, n) in zip(bn_paths, stats)])
         if ema_params is not None:
-            ema_params = jax.tree.map(
-                lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                ema_params, params)
+            ema_params = BaseModel.ema_update(ema_params, params, ema_decay)
         return params, opt_state, ema_params, loss_dict
 
     return step
@@ -343,8 +340,12 @@ class DenoisingModel(BaseModel):
         dataset_name = dataset.opt['name']
         with_metrics = self.opt['val'].get('metrics') is not None
         if with_metrics:
+            # center_frame_only scores ONE frame per clip — size the
+            # accumulator to the frames actually written, or the mean over
+            # rows silently divides by the full clip length
             self.metric_results = {
-                folder: np.zeros((dataset.num_frames[index],
+                folder: np.zeros((1 if self.center_frame_only
+                                  else dataset.num_frames[index],
                                   len(self.opt['val']['metrics'])), np.float32)
                 for index, folder in enumerate(dataset.base_folder)}
             metric_data, metric_data_float = {}, {}
@@ -448,15 +449,5 @@ class DenoisingModel(BaseModel):
             self.save_network(self.params, 'g', current_iter)
         self.save_training_state(epoch, current_iter, opt_state=self.opt_state)
 
-    def resume_training(self, resume_state):
-        """Restore optimizer state; the reference deliberately skips restoring
-        schedulers (denoising_model.py:384-397) — ours are stateless functions
-        of the iter counter, so nothing to restore."""
-        opt_state = resume_state.get('opt_state')
-        if opt_state is not None:
-            ref = jax.tree.leaves(self.opt_state)
-            flat = jax.tree.leaves(opt_state)
-            assert len(ref) == len(flat), 'optimizer state mismatch'
-            self.opt_state = jax.tree.unflatten(
-                jax.tree.structure(self.opt_state),
-                [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
+    # resume_training: inherited from BaseModel (optimizer state only;
+    # schedulers are stateless functions of the iter counter).

@@ -51,7 +51,11 @@ def cosine_annealing_restart_lr(base_lr, periods, restart_weights=(1,), eta_min=
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        idx = jnp.clip(jnp.searchsorted(cum_j[1:], step, side='right'),
+        # side='left': step == cumulative boundary still belongs to the
+        # ENDING period (reference get_position_from_periods uses
+        # ``iteration <= period``), so the boundary step reads the fully
+        # annealed lr and the restart happens one step later
+        idx = jnp.clip(jnp.searchsorted(cum_j[1:], step, side='left'),
                        0, len(periods) - 1)
         start = cum_j[idx].astype(jnp.float32)
         period = periods_j[idx]

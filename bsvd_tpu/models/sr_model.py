@@ -90,9 +90,8 @@ class SRModel(BaseModel):
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_params is not None:
-                ema_params = jax.tree.map(
-                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                    ema_params, params)
+                ema_params = BaseModel.ema_update(ema_params, params,
+                                                  ema_decay)
             return params, opt_state, ema_params, loss_dict
 
         repl = replicated_sharding(self.mesh)
@@ -179,17 +178,6 @@ class SRModel(BaseModel):
         else:
             self.save_network(self.params, 'g', current_iter)
         self.save_training_state(epoch, current_iter, opt_state=self.opt_state)
-
-    def resume_training(self, resume_state):
-        opt_state = resume_state.get('opt_state')
-        if opt_state is not None:
-            ref = jax.tree.leaves(self.opt_state)
-            flat = jax.tree.leaves(opt_state)
-            assert len(ref) == len(flat), 'optimizer state mismatch'
-            self.opt_state = jax.tree.unflatten(
-                jax.tree.structure(self.opt_state),
-                [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
-
 
 @MODEL_REGISTRY.register()
 class SwinIRModel(SRModel):

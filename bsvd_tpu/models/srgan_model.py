@@ -15,6 +15,7 @@ import optax
 
 from bsvd_tpu.archs import build_network
 from bsvd_tpu.losses import build_loss
+from bsvd_tpu.models.base_model import BaseModel
 from bsvd_tpu.models.lr_scheduler import build_schedule
 from bsvd_tpu.models.sr_model import SRModel
 from bsvd_tpu.parallel.mesh import batch_sharding, replicated_sharding
@@ -154,8 +155,7 @@ class SRGANModel(SRModel):
             g_opt = jax.tree.map(lambda a, b: jnp.where(g_on, a, b),
                                  g_opt_new, g_opt)
             if ema is not None:
-                ema = jax.tree.map(
-                    lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, gp)
+                ema = BaseModel.ema_update(ema, gp, ema_decay)
             # ---- D ----
             fake = jax.lax.stop_gradient(fake)
             (_, (d_losses, aux)), d_grads = jax.value_and_grad(

@@ -34,6 +34,10 @@ class StyleGAN2Model(BaseModel):
         if load_path:
             self.net.load(load_path, self.opt['path'].get('param_key_g', 'params'))
         self.params = self.net.params
+        # eval mode never runs init_training_settings: sample from the
+        # loaded weights (test configs load params_ema via param_key_g,
+        # matching the reference's net_g_ema-only test path)
+        self.ema_params = self.params
         self.num_style_feat = opt['network_g'].get('num_style_feat', 512)
         self.mesh = make_mesh(opt.get('num_gpu', 'auto'))
         self.current_iter = 0
@@ -137,8 +141,7 @@ class StyleGAN2Model(BaseModel):
                 loss_fn, has_aux=True)(gp)
             updates, g_opt = tx_g.update(grads, g_opt, gp)
             gp = optax.apply_updates(gp, updates)
-            ema = jax.tree.map(lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                               ema, gp)
+            ema = BaseModel.ema_update(ema, gp, ema_decay)
             return gp, g_opt, ema, new_mean, logs
 
         self._d_step = {flag: jax.jit(lambda gp, dp, do, real, key, f=flag:

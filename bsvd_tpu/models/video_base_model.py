@@ -16,6 +16,7 @@ import numpy as np
 import optax
 
 from bsvd_tpu.metrics import calculate_metric
+from bsvd_tpu.models.base_model import BaseModel
 from bsvd_tpu.models.lr_scheduler import build_schedule
 from bsvd_tpu.models.sr_model import SRModel
 from bsvd_tpu.parallel.mesh import batch_sharding, replicated_sharding
@@ -116,8 +117,10 @@ class EDVRModel(VideoBaseModel):
                 return l_pix, {'l_pix': l_pix}
             (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             if tsa_iter:
-                # during the TSA warm phase only the fusion module trains
-                warm = (it <= tsa_iter)
+                # TSA warm phase covers iters 1..tsa_iter-1 only: the
+                # reference unfreezes at current_iter == train_tsa_iter
+                # BEFORE that step's update (edvr_model.py:49-60)
+                warm = (it < tsa_iter)
                 gate = jnp.where(warm, 0.0, 1.0)
                 grads = {k: (v if k == 'fusion' else
                              jax.tree.map(lambda g: g * gate, v))
@@ -125,9 +128,8 @@ class EDVRModel(VideoBaseModel):
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_params is not None:
-                ema_params = jax.tree.map(
-                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                    ema_params, params)
+                ema_params = BaseModel.ema_update(ema_params, params,
+                                                  ema_decay)
             return params, opt_state, ema_params, loss_dict
 
         repl = replicated_sharding(self.mesh)

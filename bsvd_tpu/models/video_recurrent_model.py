@@ -15,6 +15,7 @@ import numpy as np
 import optax
 
 from bsvd_tpu.metrics import calculate_metric
+from bsvd_tpu.models.base_model import BaseModel
 from bsvd_tpu.models.lr_scheduler import build_schedule
 from bsvd_tpu.models.sr_model import SRModel
 from bsvd_tpu.parallel.mesh import batch_sharding, replicated_sharding
@@ -68,18 +69,19 @@ class VideoRecurrentModel(SRModel):
                 return l_pix, {'l_pix': l_pix}
             (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             if fix_iter:
-                # flow net frozen for the first fix_iter iterations: gate its
-                # grads on the step counter (reference sets requires_grad)
-                flow_on = (it > fix_iter).astype(jnp.float32)
+                # flow net frozen for iters 1..fix_iter-1: the reference
+                # unfreezes at current_iter == fix_flow_iter BEFORE that
+                # step's update (video_recurrent_model.py:53-62), so the
+                # boundary iteration already trains flow
+                flow_on = (it >= fix_iter).astype(jnp.float32)
                 grads = dict(grads)
                 grads['spynet'] = jax.tree.map(lambda g: g * flow_on,
                                                grads['spynet'])
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema_params is not None:
-                ema_params = jax.tree.map(
-                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
-                    ema_params, params)
+                ema_params = BaseModel.ema_update(ema_params, params,
+                                                  ema_decay)
             return params, opt_state, ema_params, loss_dict
 
         repl = replicated_sharding(self.mesh)

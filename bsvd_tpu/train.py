@@ -26,7 +26,11 @@ def create_train_val_dataloader(opt, logger):
             # loader-style datasets (video pipeline) iterate themselves
             train_loader = build_dataloader(train_set, dataset_opt,
                                             num_gpu=opt['num_gpu'])
-            num_iter_per_epoch = len(train_set)
+            # len(loader) counts BATCHES for both loader kinds (the video
+            # loader divides max_number_patches by the global batch;
+            # BatchLoader divides the sampler length) — reference
+            # train_pipeline.py:49-50 computes the same quotient itself
+            num_iter_per_epoch = len(train_loader)
             total_iters = int(opt['train']['total_iter'])
             total_epochs = math.ceil(total_iters / max(num_iter_per_epoch, 1))
             logger.info('Training statistics:'

@@ -124,3 +124,17 @@ def test_native_decoder_matches_cv2(synth_data):
     assert np.array_equal(seq[1],
                           cv2.cvtColor(cv2.imread(paths[1]),
                                        cv2.COLOR_BGR2RGB)[4:36, 8:32])
+
+
+def test_eval_center_frame_only_metric_scaling(synth_data, tmp_path):
+    """center_frame_only scores one frame per clip; the reported average
+    must be that frame's value, not value/num_frames (regression: the
+    accumulator was sized to the full clip and mean'd over zero rows)."""
+    from bsvd_tpu.test import test_pipeline
+    opt_path = _opt_yaml(synth_data, tmp_path, center_frame_only=True)
+    results = test_pipeline(str(tmp_path), opt_path=opt_path)
+    res = results['synth_20']
+    # a random-weight net scores low but in-band PSNR (> 3 dB); the old
+    # bug divided by 8 frames, collapsing it to < 2 dB
+    assert res['psnr'] > 3.0, res
+    assert all(np.isfinite(v) for v in res.values())

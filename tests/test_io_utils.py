@@ -197,3 +197,49 @@ def test_make_mesh_strict_raises_on_bad_spatial():
     with pytest.warns(UserWarning):
         m = make_mesh(3, spatial=2, strict=False)
     assert dict(m.shape) == {'data': 3, 'spatial': 1}
+
+
+def test_spectral_norm_checkpoint_conversion(tmp_path):
+    """torch spectral_norm checkpoints store weight_orig/weight_u/weight_v;
+    loading a reference SN discriminator must map them to (w, u) and drop v
+    (regression: KeyError 'checkpoint missing parameter conv1/w')."""
+    torch = pytest.importorskip('torch')
+    from bsvd_tpu.archs import build_network
+    from bsvd_tpu.convert.torch_generic import state_dict_to_tree
+
+    net = build_network({'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                         'num_feat': 8})
+
+    conv = torch.nn.utils.spectral_norm(torch.nn.Conv2d(3, 8, 3))
+    sd = {f'conv0.{k}': v for k, v in conv.state_dict().items()}
+    assert any(k.endswith('weight_orig') for k in sd)
+    tree = state_dict_to_tree({k: v.numpy() for k, v in sd.items()})
+    assert tree['conv0']['w'].shape == (3, 3, 3, 8)      # HWIO of weight_orig
+    assert tree['conv0']['u'].shape == (8,)
+    assert 'weight_v' not in tree['conv0'] and 'v' not in tree['conv0']
+
+    # end-to-end: a full torch-side SN state dict loads into the arch tree
+    full_sd = {}
+    for name, leaf in _torch_sn_names(net.params).items():
+        full_sd[name] = torch.zeros(leaf)
+    path = tmp_path / 'd.pth'
+    torch.save({'params': full_sd}, path)
+    net.load(str(path))
+    import jax
+    assert all(np.all(np.asarray(a) == 0) for a in jax.tree.leaves(net.params))
+
+
+def _torch_sn_names(tree, prefix=''):
+    """Enumerate the torch-side names/shapes for an SN-conv param tree."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_torch_sn_names(v, f'{prefix}{k}.'))
+        elif k == 'w':
+            h, w_, ci, co = v.shape
+            out[f'{prefix}weight_orig'] = (co, ci, h, w_)
+        elif k == 'u':
+            out[f'{prefix}weight_u'] = tuple(v.shape)
+        elif k == 'b':
+            out[f'{prefix}bias'] = tuple(v.shape)
+    return out

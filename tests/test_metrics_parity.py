@@ -88,6 +88,9 @@ def test_niqe_parity(ref_metrics):
            + rng.normal(0, 12, (128, 160)))
     img = np.clip(np.stack([img] * 3, axis=-1)
                   + rng.normal(0, 6, (128, 160, 3)), 0, 255).astype(np.uint8)
-    mine = calculate_niqe(img, crop_border=0)
+    mine = calculate_niqe(
+        img, crop_border=0,
+        niqe_pris_params='/root/reference/BasicSR/basicsr/metrics/'
+                         'niqe_pris_params.npz')
     theirs = ref_niqe(img, crop_border=0)
     np.testing.assert_allclose(mine, theirs, rtol=1e-4)

@@ -149,3 +149,37 @@ def test_sr_model_with_perceptual(tmp_path):
     model.optimize_parameters(1)
     for k in ('l_pix', 'l_percep', 'l_style'):
         assert np.isfinite(model.log_dict[k]), (k, model.log_dict)
+
+
+def test_psnr_loss_per_image_log_and_to_y():
+    """PSNRLoss: scale * mean(log(per-image MSE)) — NOT log of the global
+    mean (Jensen gap) — with optional BT.601 Y conversion."""
+    import math
+    import numpy as np
+    import jax.numpy as jnp
+    from bsvd_tpu.losses.losses import PSNRLoss
+
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.uniform(0, 1, (3, 4, 5, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (3, 4, 5, 3)), jnp.float32)
+
+    scale = 10 / math.log(10)
+    mse = np.square(np.asarray(pred) - np.asarray(tgt)).mean(axis=(1, 2, 3))
+    expect = scale * np.mean(np.log(mse + 1e-8))
+    got = float(PSNRLoss()(pred, tgt))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # per-image-log differs from global-log for unequal MSEs
+    assert abs(got - scale * math.log(mse.mean() + 1e-8)) > 1e-6
+
+    coef = np.array([65.481, 128.553, 24.966])
+    def y(x):
+        return ((np.asarray(x) * coef).sum(-1, keepdims=True) + 16.) / 255.
+    ymse = np.square(y(pred) - y(tgt)).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(float(PSNRLoss(to_y=True)(pred, tgt)),
+                               scale * np.mean(np.log(ymse + 1e-8)), rtol=1e-5)
+
+    # NCHW layout supported too
+    p4 = jnp.transpose(pred, (0, 3, 1, 2))
+    t4 = jnp.transpose(tgt, (0, 3, 1, 2))
+    np.testing.assert_allclose(float(PSNRLoss(to_y=True)(p4, t4)),
+                               scale * np.mean(np.log(ymse + 1e-8)), rtol=1e-5)

@@ -180,3 +180,22 @@ def test_stylegan2_model_train_steps(tmp_path):
     assert samples.shape == (2, 3, 16, 16)
     model.save(0, 6)
     assert (tmp_path / 'm' / 'net_g_6.npz').exists()
+
+
+def test_stylegan2_model_eval_mode_test(tmp_path):
+    """Eval mode (is_train=False) never runs init_training_settings —
+    test() must still sample, from the loaded weights (regression: missing
+    ema_params AttributeError)."""
+    from bsvd_tpu.models import build_model
+    opt = {
+        'name': 'sg2_eval', 'model_type': 'StyleGAN2Model', 'is_train': False,
+        'num_gpu': 1, 'manual_seed': 0,
+        'network_g': {'type': 'StyleGAN2Generator', 'out_size': 16,
+                      'num_style_feat': 16, 'num_mlp': 2,
+                      'channel_multiplier': 1, 'narrow': 0.0625},
+        'path': {}, 'logger': {},
+    }
+    model = build_model(opt)
+    samples = model.test(num_samples=2)
+    assert samples.shape == (2, 3, 16, 16)
+    assert np.isfinite(np.asarray(samples)).all()

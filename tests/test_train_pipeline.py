@@ -79,7 +79,9 @@ def test_video_loader_batches(train_data):
         'num_devices': 2, 'num_workers': 2, 'manual_seed': 3})
     batches = list(loader)
     loader.close()
-    assert len(batches) == 5
+    # max_number_patches counts PATCHES: 5 patches / (2x2 global batch)
+    # -> ceil = 2 iterations per epoch (reference DALI size= semantics)
+    assert len(batches) == 2
     b = batches[0]
     assert b['gt'].shape == (4, 4, 3, 24, 24)          # N=2x2 devices
     assert b['lq'].shape == (4, 4, 3, 24, 24)
@@ -363,12 +365,13 @@ def test_trained_net_denoises(train_data, tmp_path):
     loader = build_dataset({**opt['datasets']['train'], 'num_devices': 2,
                             'manual_seed': 0})
     it = 0
-    for batch in loader:
-        it += 1
-        model.feed_data(batch)
-        model.optimize_parameters(it)
-        if it >= 200:
-            break
+    while it < 200:          # epochs are now 25 iters (100 patches / 4)
+        for batch in loader:
+            it += 1
+            model.feed_data(batch)
+            model.optimize_parameters(it)
+            if it >= 200:
+                break
     loader.close()
 
     denoised_psnr = eval_psnr()
