@@ -14,10 +14,19 @@ import time
 import numpy as np
 
 
+# Paramless subtrees (e.g. norm='none' slots, nn/layers.py norm_init) are
+# real nodes of the arch's pytree: the flat encoding keeps them via a
+# sentinel key so a save/load round-trip is structure-exact — dropping
+# them made reloaded norm-free nets crash on p['inc']['n1'].
+_EMPTY_SENTINEL = '__empty_dict__'
+
+
 def flatten_tree(tree, prefix=''):
     """Nested dict/list pytree -> {flat/key/path: np.ndarray}."""
     flat = {}
     if isinstance(tree, dict):
+        if not tree and prefix:
+            return {f'{prefix}{_EMPTY_SENTINEL}': np.zeros((0,), np.float32)}
         items = tree.items()
     elif isinstance(tree, (list, tuple)):
         items = ((str(i), v) for i, v in enumerate(tree))
@@ -36,7 +45,8 @@ def unflatten_tree(flat):
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = val
+        if parts[-1] != _EMPTY_SENTINEL:
+            node[parts[-1]] = val
     return tree
 
 

@@ -243,3 +243,26 @@ def _torch_sn_names(tree, prefix=''):
         elif k == 'b':
             out[f'{prefix}bias'] = tuple(v.shape)
     return out
+
+
+def test_npz_checkpoint_roundtrip_preserves_empty_subtrees(tmp_path):
+    """norm='none'/'in' slots are paramless {} nodes in the arch pytree;
+    the flat npz encoding must keep them (regression: a reloaded
+    norm-free WNet crashed on p['inc']['n1'])."""
+    from bsvd_tpu.models.checkpoint import (load_npz_params,
+                                            save_npz_params)
+    tree = {'inc': {'c1': {'w': np.ones((3, 3, 4, 8), np.float32),
+                           'b': np.zeros((8,), np.float32)},
+                    'n1': {}, 'n2': {}},
+            'scalar': np.float32(2.0)}
+    path = tmp_path / 'ck.npz'
+    save_npz_params(str(path), {'params': tree, 'params_ema': tree})
+    for key in ('params', 'params_ema'):
+        got = load_npz_params(str(path), key)
+        assert got['inc']['n1'] == {} and got['inc']['n2'] == {}
+        np.testing.assert_array_equal(got['inc']['c1']['w'],
+                                      tree['inc']['c1']['w'])
+        assert got['scalar'] == 2.0
+    import jax
+    assert (jax.tree.structure(got) ==
+            jax.tree.structure(jax.tree.map(np.asarray, tree)))

@@ -467,3 +467,69 @@ def test_bn_train_mode_parity_vs_torch(tmp_path):
     mine = wnet_apply(params, to_nthwc(x_eval), cfg)
     got = np.transpose(np.asarray(mine), (0, 1, 4, 2, 3))
     np.testing.assert_allclose(got, g['ref_eval'], rtol=1e-4, atol=1e-4)
+
+
+def test_resume_training_trajectory_equivalence(train_data, tmp_path):
+    """Full resume restores params + EMA (via check_resume's pretrain
+    repoint) AND the optimizer state (BaseModel.resume_training): training
+    4 steps, restarting, then training 2 more must land bit-close to 6
+    straight steps — a dropped Adam moment diverges immediately
+    (reference train_pipeline.py:72-92 + base_model.py:315-328)."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+    from bsvd_tpu.models import build_model
+    from bsvd_tpu.models.checkpoint import load_training_state
+    from bsvd_tpu.utils.misc import check_resume
+    from bsvd_tpu.utils.options import parse_options
+
+    opt_path = _train_opt(train_data, tmp_path)
+    opt, _ = parse_options(str(tmp_path), is_train=True, opt_path=opt_path)
+    os.makedirs(opt['path']['models'], exist_ok=True)
+    os.makedirs(opt['path']['training_states'], exist_ok=True)
+
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(6):
+        gt = rng.uniform(0, 1, (2, 5, 3, 32, 32)).astype(np.float32)
+        nm = np.full((2, 5, 1, 32, 32), 25 / 255., np.float32)
+        batches.append({'gt': gt,
+                        'lq': (gt + rng.normal(0, 25 / 255., gt.shape)
+                               ).astype(np.float32),
+                        'noise_map': nm})
+
+    # branch A: 6 straight steps
+    model_a = build_model(copy.deepcopy(opt))
+    for i, b in enumerate(batches, 1):
+        model_a.feed_data(b)
+        model_a.optimize_parameters(i)
+
+    # branch B: 4 steps, save, then resume into a fresh model for 5..6
+    model_b = build_model(copy.deepcopy(opt))
+    for i, b in enumerate(batches[:4], 1):
+        model_b.feed_data(b)
+        model_b.optimize_parameters(i)
+    model_b.save(epoch=0, current_iter=4)
+
+    state_path = os.path.join(opt['path']['training_states'], '4.state')
+    assert os.path.isfile(state_path)
+    resume_state = load_training_state(state_path)
+    assert resume_state['iter'] == 4
+
+    opt_c = copy.deepcopy(opt)
+    opt_c['path']['resume_state'] = state_path
+    check_resume(opt_c, resume_state['iter'])
+    assert opt_c['path']['pretrain_network_g'].endswith('net_g_4.npz')
+    model_c = build_model(opt_c)
+    model_c.resume_training(resume_state)
+    for i, b in enumerate(batches[4:], 5):
+        model_c.feed_data(b)
+        model_c.optimize_parameters(i)
+
+    for name, got, want in [
+            ('params', model_c.params, model_a.params),
+            ('ema', model_c.ema_params, model_a.ema_params)]:
+        for g_leaf, w_leaf in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(g_leaf, np.float32),
+                                       np.asarray(w_leaf, np.float32),
+                                       rtol=2e-5, atol=2e-6, err_msg=name)
