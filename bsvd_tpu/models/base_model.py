@@ -135,21 +135,32 @@ class BaseModel:
         save_training_state(save_path, state)
         return save_path
 
+    @staticmethod
+    def restore_opt_state(template, saved):
+        """Rebuild an optax state from its saved (host-array) leaves, cast
+        to the live state's dtypes."""
+        ref = jax.tree.leaves(template)
+        flat = jax.tree.leaves(saved)
+        assert len(ref) == len(flat), 'optimizer state mismatch'
+        return jax.tree.unflatten(
+            jax.tree.structure(template),
+            [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
+
     def resume_training(self, resume_state):
         """Restore the optimizer state saved by save_training_state. LR
         schedules here are pure functions of the iter counter, so there is
         no scheduler state to restore (reference base_model.py:315-328
         restores both; the BSVD override deliberately skips schedulers,
         denoising_model.py:384-397). Models with extra optimizers
-        (e.g. StyleGAN2's D) override this."""
+        (e.g. SRGAN's D) extend this via _training_state_extra/overrides."""
         opt_state = resume_state.get('opt_state')
         if opt_state is not None:
-            ref = jax.tree.leaves(self.opt_state)
-            flat = jax.tree.leaves(opt_state)
-            assert len(ref) == len(flat), 'optimizer state mismatch'
-            self.opt_state = jax.tree.unflatten(
-                jax.tree.structure(self.opt_state),
-                [jnp.asarray(v, r.dtype) for v, r in zip(flat, ref)])
+            self.opt_state = self.restore_opt_state(self.opt_state, opt_state)
+
+    def _training_state_extra(self):
+        """Extra entries for save_training_state (e.g. a D optimizer);
+        subclasses with more training state than one optimizer override."""
+        return None
 
     # ---- loss reduction -------------------------------------------------
     def reduce_loss_dict(self, loss_dict):

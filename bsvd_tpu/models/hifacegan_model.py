@@ -192,3 +192,13 @@ class HiFaceGANModel(SRModel):
     def save(self, epoch, current_iter):
         super().save(epoch, current_iter)
         self.save_network(self.d_params, 'd', current_iter)
+
+    def _training_state_extra(self):
+        return {'opt_state_d': self.opt_state_d}
+
+    def resume_training(self, resume_state):
+        super().resume_training(resume_state)
+        d_state = (resume_state.get('extra') or {}).get('opt_state_d')
+        if d_state is not None:
+            self.opt_state_d = self.restore_opt_state(self.opt_state_d,
+                                                      d_state)

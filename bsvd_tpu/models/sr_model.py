@@ -177,7 +177,8 @@ class SRModel(BaseModel):
                               param_key=['params', 'params_ema'])
         else:
             self.save_network(self.params, 'g', current_iter)
-        self.save_training_state(epoch, current_iter, opt_state=self.opt_state)
+        self.save_training_state(epoch, current_iter, opt_state=self.opt_state,
+                                 extra=self._training_state_extra())
 
 @MODEL_REGISTRY.register()
 class SwinIRModel(SRModel):

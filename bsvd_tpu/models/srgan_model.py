@@ -201,6 +201,19 @@ class SRGANModel(SRModel):
         super().save(epoch, current_iter)
         self.save_network(self.d_params, 'd', current_iter)
 
+    def _training_state_extra(self):
+        # the D optimizer state rides the .state file's extra slot
+        # (reference saves every optimizer in self.optimizers,
+        # base_model.py:280-313)
+        return {'opt_state_d': self.opt_state_d}
+
+    def resume_training(self, resume_state):
+        super().resume_training(resume_state)
+        d_state = (resume_state.get('extra') or {}).get('opt_state_d')
+        if d_state is not None:
+            self.opt_state_d = self.restore_opt_state(self.opt_state_d,
+                                                      d_state)
+
 
 @MODEL_REGISTRY.register()
 class ESRGANModel(SRGANModel):

@@ -203,14 +203,21 @@ class StyleGAN2Model(BaseModel):
         self.save_network([self.params, self.ema_params], 'g', current_iter,
                           param_key=['params', 'params_ema'])
         self.save_network(self.d_params, 'd', current_iter)
-        self.save_training_state(epoch, current_iter,
-                                 opt_state=(self.opt_state, self.opt_state_d))
+        self.save_training_state(
+            epoch, current_iter,
+            opt_state=(self.opt_state, self.opt_state_d),
+            # the reference drops the path-reg EMA on restart
+            # (stylegan2_model.py keeps it only in memory); persisting it
+            # keeps the g_path penalty continuous across resumes
+            extra={'mean_path_length': np.asarray(self.mean_path_length)})
 
     def resume_training(self, resume_state):
         opt_state = resume_state.get('opt_state')
         if opt_state is not None:
             g_state, d_state = opt_state
-            self.opt_state = jax.tree.unflatten(
-                jax.tree.structure(self.opt_state), jax.tree.leaves(g_state))
-            self.opt_state_d = jax.tree.unflatten(
-                jax.tree.structure(self.opt_state_d), jax.tree.leaves(d_state))
+            self.opt_state = self.restore_opt_state(self.opt_state, g_state)
+            self.opt_state_d = self.restore_opt_state(self.opt_state_d,
+                                                      d_state)
+        mpl = (resume_state.get('extra') or {}).get('mean_path_length')
+        if mpl is not None:
+            self.mean_path_length = jnp.asarray(mpl, jnp.float32)

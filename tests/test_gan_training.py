@@ -203,3 +203,64 @@ def test_video_gan_models(model_type, g_net, lq_shape, gt_shape, tmp_path):
         model.optimize_parameters(it)
         assert np.isfinite(model.log_dict['l_g_gan'])
         assert np.isfinite(model.log_dict['l_d_real'])
+
+
+def test_gan_resume_restores_both_optimizers(tmp_path):
+    """save() must persist the D optimizer state (extra slot) and
+    resume_training() must restore it: after resume, G AND D Adam moments
+    equal the pre-restart ones (regression: only opt_state (G) survived,
+    reference saves every optimizer, base_model.py:280-313)."""
+    import os
+    from bsvd_tpu.models import build_model
+    from bsvd_tpu.models.checkpoint import load_training_state
+
+    def make_opt():
+        return {
+            'name': 'gan_resume', 'model_type': 'ESRGANModel',
+            'is_train': True, 'num_gpu': 1, 'manual_seed': 0, 'scale': 4,
+            'network_g': {'type': 'MSRResNet', 'num_in_ch': 3,
+                          'num_out_ch': 3, 'num_feat': 8, 'num_block': 1,
+                          'upscale': 4},
+            'network_d': {'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                          'num_feat': 8},
+            'path': {'models': str(tmp_path / 'm'),
+                     'training_states': str(tmp_path / 's')},
+            'train': {
+                'optim_g': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+                'optim_d': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+                'total_iter': 4, 'ema_decay': 0.99,
+                'net_d_iters': 1, 'net_d_init_iters': 0,
+                'pixel_opt': {'type': 'L1Loss', 'loss_weight': 0.01},
+                'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                            'real_label_val': 1.0, 'fake_label_val': 0.0,
+                            'loss_weight': 0.005},
+            },
+            'logger': {},
+        }
+
+    os.makedirs(tmp_path / 'm'); os.makedirs(tmp_path / 's')
+    model = build_model(make_opt())
+    rng = np.random.default_rng(0)
+    lq = rng.uniform(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    for it in range(1, 3):
+        model.feed_data({'lq': lq, 'gt': gt})
+        model.optimize_parameters(it)
+    model.save(0, 2)
+    want_g = [np.asarray(v) for v in jax.tree.leaves(model.opt_state)]
+    want_d = [np.asarray(v) for v in jax.tree.leaves(model.opt_state_d)]
+    assert any(np.any(v != 0) for v in want_d), 'D moments never updated'
+
+    state = load_training_state(str(tmp_path / 's' / '2.state'))
+    opt2 = make_opt()
+    opt2['path']['resume_state'] = str(tmp_path / 's' / '2.state')
+    from bsvd_tpu.utils.misc import check_resume
+    check_resume(opt2, 2)
+    assert opt2['path']['pretrain_network_d'].endswith('net_d_2.npz')
+    model2 = build_model(opt2)
+    model2.resume_training(state)
+    for got, want, name in [(model2.opt_state, want_g, 'G'),
+                            (model2.opt_state_d, want_d, 'D')]:
+        for g_leaf, w_leaf in zip(jax.tree.leaves(got), want):
+            np.testing.assert_array_equal(np.asarray(g_leaf), w_leaf,
+                                          err_msg=f'{name} optimizer state')
