@@ -38,13 +38,18 @@ def usm_sharp_jax(img, weight=0.5, radius=51, threshold=10):
     g = g / g.sum()
 
     def blur(x):
+        # reflect padding (edge not repeated) matches the reference
+        # filter2D's F.pad(mode='reflect') (img_process_util.py:7-31);
+        # zero padding would darken a half-kernel border band
         c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (half, half), (half, half), (0, 0)),
+                    mode='reflect')
         kh = jnp.tile(g.reshape(radius, 1, 1, 1), (1, 1, 1, c))
         kw = jnp.tile(g.reshape(1, radius, 1, 1), (1, 1, 1, c))
-        x = lax.conv_general_dilated(x, kh, (1, 1), [(half, half), (0, 0)],
+        x = lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (0, 0)],
                                      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                                      feature_group_count=c)
-        return lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (half, half)],
+        return lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (0, 0)],
                                         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                                         feature_group_count=c)
 
