@@ -44,30 +44,33 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None, stride=1,
     off = offset.reshape(n, ho, wo, dg, k, 2)     # [..., g, k, (y, x)]
     msk = None if mask is None else mask.reshape(n, ho, wo, dg, k)
 
+    # All taps and groups sampled in ONE grid_sample call: taps fold into the
+    # width axis, deformable groups into the batch axis. A Python loop here
+    # would emit k*dg gathers (18+ per conv) — brutal for trace/compile time
+    # and a sea of tiny gathers on TPU; this form emits exactly 4.
     gy = jnp.arange(ho, dtype=x.dtype)[:, None] * stride - padding
     gx = jnp.arange(wo, dtype=x.dtype)[None, :] * stride - padding
-    base_y = jnp.broadcast_to(gy, (ho, wo))
-    base_x = jnp.broadcast_to(gx, (ho, wo))
+    taps = jnp.arange(k)
+    tap_y = (taps // kw).astype(x.dtype) * dilation            # (K,)
+    tap_x = (taps % kw).astype(x.dtype) * dilation
+    py = gy[:, :, None] + tap_y                                # (Ho, Wo, K)
+    px = gx[:, :, None] + tap_x
 
-    cols = []
-    for ki in range(kh):
-        for kj in range(kw):
-            tap = ki * kw + kj
-            py = base_y + ki * dilation
-            px = base_x + kj * dilation
-            per_group = []
-            for g in range(dg):
-                dy = off[..., g, tap, 0]
-                dx = off[..., g, tap, 1]
-                coords = jnp.stack([px[None] + dx, py[None] + dy], axis=-1)
-                sampled = grid_sample(x[..., g * cg:(g + 1) * cg], coords,
-                                      'bilinear', 'zeros')
-                if msk is not None:
-                    sampled = sampled * msk[..., g, tap][..., None]
-                per_group.append(sampled)
-            cols.append(jnp.concatenate(per_group, axis=-1))   # (N,H',W',C)
+    dyx = jnp.moveaxis(off, 3, 1)                  # (N, dg, Ho, Wo, K, 2)
+    cx = px[None, None] + dyx[..., 1]
+    cy = py[None, None] + dyx[..., 0]
+    coords = jnp.stack([cx, cy], axis=-1).reshape(n * dg, ho, wo * k, 2)
 
-    col = jnp.stack(cols, axis=-2)                    # (N, H', W', K, C)
+    img_g = x.reshape(n, h, w, dg, cg)
+    img_g = jnp.moveaxis(img_g, 3, 1).reshape(n * dg, h, w, cg)
+    sampled = grid_sample(img_g, coords, 'bilinear', 'zeros')
+    sampled = sampled.reshape(n, dg, ho, wo, k, cg)
+    if msk is not None:
+        sampled = sampled * jnp.moveaxis(msk, 3, 1)[..., None]
+
+    # col channel order must be K-major over C with C grouped [g0.., g1..]
+    # to match weight.reshape(kh*kw*c, cout)'s (ki,kj) major over C layout.
+    col = jnp.moveaxis(sampled, 1, 4)              # (N, Ho, Wo, K, dg, cg)
     w_mat = weight.reshape(kh * kw * c, cout)          # (ki,kj) major over C
     col = col.reshape(n, ho, wo, k * c)
     y = jnp.einsum('nhwc,cd->nhwd', col, w_mat)

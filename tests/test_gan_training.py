@@ -169,7 +169,7 @@ def test_gan_gated_g_step_freezes_params_and_opt_state(tmp_path):
      (1, 3, 3, 8, 8), (1, 3, 32, 32)),
     ('VideoRecurrentGANModel',
      {'type': 'BasicVSR', 'num_feat': 8, 'num_block': 1},
-     (1, 2, 3, 34, 34), (1, 2, 3, 136, 136)),
+     (1, 2, 3, 18, 18), (1, 2, 3, 72, 72)),  # non-/32 H,W: SpyNet pad path
 ])
 def test_video_gan_models(model_type, g_net, lq_shape, gt_shape, tmp_path):
     import os

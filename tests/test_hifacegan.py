@@ -1,6 +1,8 @@
 """HiFaceGAN parity vs the reference torch implementation (CPU; spectral
 norm folded into effective weights for eval)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -49,8 +51,8 @@ def test_hifacegan_generator_parity():
     x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.from_numpy(x)).numpy()
-    got = hifacegan_apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
-                          scale_ratio=5, phase=4)
+    fn = jax.jit(functools.partial(hifacegan_apply, scale_ratio=5, phase=4))
+    got = fn(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref, rtol=2e-3, atol=2e-3)
 
@@ -68,9 +70,9 @@ def test_hifacegan_discriminator_parity():
     x = rng.uniform(0, 1, (1, 6, 64, 64)).astype(np.float32)  # conditional: 3+3
     with torch.no_grad():
         ref = net(torch.from_numpy(x))
-    got = hifacegan_discriminator_apply(
-        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), num_d=2,
-        n_layers_d=3)
+    fn = jax.jit(functools.partial(hifacegan_discriminator_apply, num_d=2,
+                                   n_layers_d=3))
+    got = fn(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     assert len(got) == len(ref) == 2
     for d_got, d_ref in zip(got, ref):
         assert len(d_got) == len(d_ref)

@@ -1,6 +1,8 @@
 """Video SR parity vs reference torch: flow_warp/grid_sample, SpyNet,
 BasicVSR (random weights, CPU fp32)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -61,8 +63,9 @@ def test_spynet_parity():
     supp_img = np.clip(ref_img + rng.normal(0, 0.05, ref_img.shape), 0, 1).astype(np.float32)
     with torch.no_grad():
         ref_flow = net(torch.from_numpy(ref_img), torch.from_numpy(supp_img)).numpy()
-    got = spynet_apply(params, jnp.asarray(np.transpose(ref_img, (0, 2, 3, 1))),
-                       jnp.asarray(np.transpose(supp_img, (0, 2, 3, 1))))
+    got = jax.jit(spynet_apply)(
+        params, jnp.asarray(np.transpose(ref_img, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(supp_img, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref_flow, rtol=1e-3, atol=1e-4)
 
@@ -77,8 +80,8 @@ def test_basicvsr_parity():
     x = rng.uniform(0, 1, (1, 5, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.from_numpy(x)).numpy()
-    got = basicvsr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
-                         num_feat=16)
+    fn = jax.jit(functools.partial(basicvsr_apply, num_feat=16))
+    got = fn(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 1, 4, 2, 3)),
                                ref, rtol=1e-3, atol=1e-3)
 
@@ -122,7 +125,8 @@ def test_toflow_parity():
     x = rng.uniform(0, 1, (1, 7, 3, 32, 32)).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.from_numpy(x)).numpy()
-    got = toflow_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    got = jax.jit(toflow_apply)(params,
+                                jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
                                ref, rtol=2e-3, atol=2e-3)
 
@@ -139,7 +143,10 @@ def test_iconvsr_parity():
     x = rng.uniform(0, 1, (1, 5, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = net(torch.from_numpy(x)).numpy()
-    got = iconvsr_apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
-                        num_feat=64, keyframe_stride=3, temporal_padding=2)
+    # jit: one compiled program instead of ~700 eager op dispatches (2x
+    # faster cold, ~10x with a warm persistent compile cache)
+    fn = jax.jit(functools.partial(iconvsr_apply, num_feat=64,
+                                   keyframe_stride=3, temporal_padding=2))
+    got = fn(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 1, 4, 2, 3)),
                                ref, rtol=2e-3, atol=2e-3)
