@@ -279,14 +279,6 @@ from bsvd_tpu.archs.wnet_arch import (embed_half_lanes,  # noqa: E402
                                       pad_in_channels)
 
 
-def _folded_stream_ok(x, cfg):
-    """Gate for the width-folded stems of the per-frame streaming step: same
-    trick as wnet_arch._stage_apply_folded — the folded convs are dense
-    128-lane contractions (NT=1 Pallas kernel where the shape qualifies)
-    instead of C=64/C=4 shapes XLA runs slowly at 540p."""
-    return _fold_active(cfg, x.shape[-2])
-
-
 def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None,
                      x2_f=None):
     """Width-folded conv site for the per-frame step. ``kernel_act``: an act
@@ -390,7 +382,10 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st = dict(st)
     rc = cfg.residual_ch
 
-    folded = fold_io or _folded_stream_ok(x, cfg)
+    # fold_io is the caller's fold_gate on this width; x arrives already
+    # folded when it is set, so the gate re-evaluated here could never add
+    # anything (same predicate, and the skip rings were sized by it).
+    folded = fold_io
     if fold_io:
         n_, h_, wf_, c2_ = x.shape
         xr = x.reshape(n_, h_, wf_, 2, c2_ // 2)[..., :rc]
@@ -443,7 +438,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
                                           y, v0, fd, causal, assume_filled,
                                           an)
-    new_st['skip3'] = _ring_push(new_st['skip3'] if 'skip3' in new_st else st['skip3'], x1, v1)
+    new_st['skip3'] = _ring_push(st['skip3'], x1, v1)
 
     d = p['down1']
     if folded and x1.shape[-2] % 2 == 0:
@@ -695,12 +690,25 @@ class StreamDenoiser:
         return res
 
     def flush(self):
+        """Drain the pipeline and return the outstanding outputs.
+
+        The output for pushed frame i only becomes valid ``latency`` steps
+        after its push (reference drains with None until T valid outputs
+        are collected, bsvd_arch.py:530-552), so a full drain always runs
+        ``latency`` invalid steps — even when fewer frames than the
+        pipeline depth were pushed — and only the last
+        ``pushed - emitted`` outputs are real."""
+        if self._emitted >= self._pushed:
+            return []
         n, h, w = self._shape
         cin = self.cfg.effective_in_ch
         zero = jnp.zeros((n, h, w, cin), self.dtype)
         outs = []
-        while self._emitted < self._pushed:
-            self.state, out, _ = self._step_drain(self.params, self.state, zero)
-            outs.append(out)
-            self._emitted += 1
+        first_valid = self.latency + self._emitted - self._pushed
+        for d in range(self.latency):
+            self.state, out, _ = self._step_drain(self.params, self.state,
+                                                  zero)
+            if d >= first_valid:
+                outs.append(out)
+                self._emitted += 1
         return outs

@@ -125,10 +125,12 @@ def _stage_init(key, cfg, stage_idx):
     down1 = {'conv': conv_init(keys[3], c1, c2, 3, cfg.bias),
              'n': norm_init(cfg.norm, c2),
              'cv': _cvblock_init(keys[4], c2, c2, cfg)}
-    up2 = {'cv': _cvblock_init(keys[5], c2, c2, cfg),
-           'conv': conv_init(keys[5], c2, c1 * 4, 3, cfg.bias)}
-    up1 = {'cv': _cvblock_init(keys[6], c1, c1, cfg),
-           'conv': conv_init(keys[6], c1, c0 * 4, 3, cfg.bias)}
+    ka, kb = jax.random.split(keys[5])
+    up2 = {'cv': _cvblock_init(ka, c2, c2, cfg),
+           'conv': conv_init(kb, c2, c1 * 4, 3, cfg.bias)}
+    ka, kb = jax.random.split(keys[6])
+    up1 = {'cv': _cvblock_init(ka, c1, c1, cfg),
+           'conv': conv_init(kb, c1, c0 * 4, 3, cfg.bias)}
     ka, kb = jax.random.split(keys[7])
     outc = {'c1': conv_init(ka, c0, c0, 3, cfg.bias),
             'n1': norm_init(cfg.norm, c0),
@@ -292,11 +294,12 @@ from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS  # noqa: E402  single source
 def fold_gate(cfg, w):
     """Gate for the width-folded segment, shared by the MIMO path and the
     streaming step (which must also size its skip rings consistently):
-    fused mode, identity norm, plain (non-shifted) stems, even W, TPU
-    backend. The folded path is exact everywhere, but only pays off where
+    fused mode, identity norm, plain (non-shifted) biased stems, even W,
+    TPU backend (the folded helpers consume conv biases unconditionally). The folded path is exact everywhere, but only pays off where
     the boundary effects it sidesteps exist; tests call the folded
     implementations directly on CPU."""
-    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input):
+    if not (cfg.use_fused and cfg.norm == 'none' and not cfg.shift_input
+            and cfg.bias):
         return False
     if w % 2 != 0:
         return False

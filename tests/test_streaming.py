@@ -92,6 +92,38 @@ def test_stream_denoiser_push_flush():
     np.testing.assert_allclose(np.asarray(out0), mimo[:, 0], rtol=2e-5, atol=2e-5)
 
 
+def test_stream_denoiser_flush_short_clip():
+    """Fewer pushes than the pipeline depth: flush must still drain the
+    FULL latency (the first valid output only exists ``latency`` steps
+    after its push) and return exactly the pushed frames."""
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, n, h, w = 5, 1, 16, 16
+    assert t < pipeline_latency(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, 4), jnp.float32)
+    mimo = np.asarray(wnet_apply(params, x, cfg))
+
+    sd = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    assert all(sd.push(x[:, i]) is None for i in range(t))
+    outs = [np.asarray(o) for o in sd.flush()]
+    assert len(outs) == t
+    np.testing.assert_allclose(np.stack(outs, axis=1), mimo,
+                               rtol=2e-5, atol=2e-5)
+    assert sd.flush() == []            # nothing outstanding afterwards
+
+
+def test_fold_gate_requires_bias():
+    """The folded helpers consume conv biases unconditionally, so the gate
+    must reject bias=False configs (platform-independent: the check sits
+    before the backend test)."""
+    from bsvd_tpu.archs.wnet_arch import fold_gate
+    assert not fold_gate(_cfg(bias=False), 960)
+    # bias=False nets still run end-to-end on the unfused path
+    cfg = _cfg(bias=False)
+    _, _, mimo, stream = _run(cfg, t=4, h=8, w=8)
+    np.testing.assert_allclose(stream, mimo, rtol=2e-5, atol=2e-5)
+
+
 def test_stream_denoiser_causal_zero_latency():
     cfg = _cfg(shift_mode='TSM_toFutureOnly')
     params = wnet_init(jax.random.PRNGKey(0), cfg)

@@ -91,8 +91,10 @@ def test_fold_width_stride2_weights_match_strided_conv():
 
 
 def test_folded_streaming_step_matches_plain(monkeypatch):
-    """The folded streaming stems (XLA width-folded convs) == the plain
-    streaming step. The gate is TPU-only; force it on for CPU testing."""
+    """The folded streaming step (XLA width-folded convs, folded state
+    rings and I/O) == the plain streaming step. The gate is TPU-only;
+    force it on for CPU testing — stream_init and stream_step share it,
+    so state shapes stay consistent."""
     import bsvd_tpu.archs.streaming as st
     cfg = _cfg()
     params = wnet_init(jax.random.PRNGKey(4), cfg)
@@ -109,7 +111,7 @@ def test_folded_streaming_step_matches_plain(monkeypatch):
         return np.stack(outs)
 
     plain = run()
-    monkeypatch.setattr(st, '_folded_stream_ok', lambda x, cfg: True)
+    monkeypatch.setattr(st, '_fold_active', lambda cfg, w: True)
     folded = run()
     np.testing.assert_allclose(folded, plain, rtol=1e-5, atol=1e-5)
 

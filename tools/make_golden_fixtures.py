@@ -3,11 +3,11 @@
 from the live torch reference at /root/reference (or
 $BSVD_TPU_REFERENCE_ROOT).
 
-Each parity test in tests/test_arch_parity.py declares its own generator
-(deterministic weights/inputs; only reference outputs are stored — see
-tests/golden_util.py). This tool simply re-runs that file with
-BSVD_TPU_REGEN_GOLDEN=1, which forces every generator to run and rewrite
-its fixture.
+Each golden-backed parity test declares its own generator (deterministic
+weights/inputs; only reference outputs are stored — see
+tests/golden_util.py). This tool simply re-runs every test file that uses
+golden_util with BSVD_TPU_REGEN_GOLDEN=1, which forces every generator to
+run and rewrite its fixture.
 
     python tools/make_golden_fixtures.py
 """
@@ -22,7 +22,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     env = dict(os.environ, BSVD_TPU_REGEN_GOLDEN='1')
     rc = subprocess.call(
-        [sys.executable, '-m', 'pytest', 'tests/test_arch_parity.py', '-q'],
+        [sys.executable, '-m', 'pytest',
+         'tests/test_arch_parity.py', 'tests/test_train_pipeline.py', '-q'],
         cwd=REPO, env=env)
     if rc == 0:
         fixdir = os.path.join(REPO, 'tests', 'fixtures')
