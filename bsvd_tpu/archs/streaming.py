@@ -382,10 +382,10 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st = dict(st)
     rc = cfg.residual_ch
 
-    # fold_io is the caller's fold_gate on this width; x arrives already
-    # folded when it is set, so the gate re-evaluated here could never add
-    # anything (same predicate, and the skip rings were sized by it).
-    folded = fold_io
+    # fold_io is the caller's fold_gate on this width: x arrives already
+    # width-folded, every intermediate (incl. the skip rings, sized at
+    # state-init by the same gate) stays folded, and the folded output is
+    # returned — the step never folds or unfolds internally.
     if fold_io:
         n_, h_, wf_, c2_ = x.shape
         xr = x.reshape(n_, h_, wf_, 2, c2_ // 2)[..., :rc]
@@ -402,8 +402,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
                                     st['inc'][1], x0, v0, fd, causal,
                                     assume_filled)
         new_st['inc'] = [s1, s2]
-    elif folded:
-        xf = x if fold_io else _fold2s(x)
+    elif fold_io:
+        xf = x
         s_out0 = p['outc']['c2']['w'].shape[-1]
         if xf.shape[-1] >= 128:
             x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
@@ -420,7 +420,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         else:
             x0f = _xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an)
             x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
-        x0 = x0f if fold_io else _unfold2s(x0f)
+        x0 = x0f
         v0 = valid
     else:
         x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
@@ -430,9 +430,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st['skip2'] = _ring_push(st['skip2'], x0, v0)
 
     d = p['down0']
-    if folded:
-        y = _xla_down_folded(d['conv'], x0 if fold_io else _fold2s(x0), act,
-                             kernel_act=an)
+    if fold_io:
+        y = _xla_down_folded(d['conv'], x0, act, kernel_act=an)
     else:
         y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
@@ -441,7 +440,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     new_st['skip3'] = _ring_push(st['skip3'], x1, v1)
 
     d = p['down1']
-    if folded and x1.shape[-2] % 2 == 0:
+    if fold_io and x1.shape[-2] % 2 == 0:
         # down1 through the same fold: (270, 480, 128) -> (270, 240, 256)
         y = _xla_down_folded(d['conv'], _fold2s(x1), act, kernel_act=an)
     else:
@@ -465,15 +464,15 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
 
     o = p['outc']
     s_out = o['c2']['w'].shape[-1]
-    if folded:
+    if fold_io:
         # up1 conv emits the shuffled+folded layout directly, and the outc
         # chain + skip-add + residual combine run as ONE kernel when the
         # folded output is lane-aligned (mirrors wnet_arch's folded tail)
         x1uf = _up_conv_psfold_stream(u['conv'], x1u, act)
         new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
-        sk2f = (sk2 if fold_io else _fold2s(sk2)).astype(x1uf.dtype)
+        sk2f = sk2.astype(x1uf.dtype)
         new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
-        sk1f = (sk1 if fold_io else _fold2s(sk1)).astype(x1uf.dtype)
+        sk1f = sk1.astype(x1uf.dtype)
         # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
         # wnet_arch.embed_half_lanes)
         xpad = embed_half_lanes(sk1f, rc, s_out)
@@ -487,12 +486,12 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
                                     sk2f.dtype, n_in=2, has_res=True):
                 yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
                                          cfg.act, 'none', rc)
-                return new_st, yf if fold_io else _unfold2s(yf), v1u
+                return new_st, yf, v1u
         yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
                                  x2_f=sk2f)
         lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
         out_f = jnp.where(lane_is_res, xpad - yf, yf)
-        return new_st, out_f if fold_io else _unfold2s(out_f), v1u
+        return new_st, out_f, v1u
 
     x1u = _up_conv_ps_stream(u['conv'], x1u, act, use_k=an is not None)
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)

@@ -111,14 +111,22 @@ class PSNRLoss:
     @staticmethod
     def _rgb_to_y(x):
         coef = jnp.asarray([65.481, 128.553, 24.966], x.dtype)
+        # Channel axis by rank: -1 for channels-last; else the canonical
+        # position for the reference layouts — 1 for NCHW images, 2 for
+        # (N, T, C, H, W) video (axis 1 is time there, so matching shape[1]
+        # alone would mix over frames, not RGB).
         if x.shape[-1] == 3:                           # channels-last
-            y = (x * coef).sum(-1, keepdims=True)
-        elif x.ndim >= 3 and x.shape[1] == 3:          # NCHW(-like)
-            c = coef.reshape(1, 3, *([1] * (x.ndim - 2)))
-            y = (x * c).sum(1, keepdims=True)
+            ch_axis = x.ndim - 1
+        elif x.ndim == 4 and x.shape[1] == 3:          # NCHW
+            ch_axis = 1
+        elif x.ndim == 5 and x.shape[2] == 3:          # NTCHW video
+            ch_axis = 2
         else:
-            raise ValueError('to_y needs a 3-channel axis at 1 or -1, '
-                             f'got shape {x.shape}')
+            raise ValueError('to_y needs a 3-channel axis at its canonical '
+                             f'position (-1, NCHW:1, NTCHW:2), got {x.shape}')
+        shape = [1] * x.ndim
+        shape[ch_axis] = 3
+        y = (x * coef.reshape(shape)).sum(ch_axis, keepdims=True)
         return (y + 16.0) / 255.0
 
     def __call__(self, pred, target, weight=None):

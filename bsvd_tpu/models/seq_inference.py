@@ -98,15 +98,18 @@ def _chunked_mimo_device(params, x, cfg, psz, future):
 
 def _chunked_mimo_async(params, x, cfg, psz, future):
     """The temp_psz protocol as an async host loop over jitted chunk
-    forwards: outputs stay on device (one device->host copy total, no
-    per-chunk sync — dispatch is async) and the compiled units are the
-    chunk-shaped forwards, so compile work is shared across every sequence
-    length T (the one-program scan `_chunked_mimo_device` recompiles its
-    whole two-scan body per distinct T — right for fixed-length protocols,
-    wrong for variable-length datasets)."""
+    forwards. Device residency is bounded to ~2 chunks: each chunk's
+    device->host copy is deferred until AFTER the next chunk has been
+    dispatched (JAX dispatch is async), so the copy overlaps the next
+    chunk's execution instead of serializing with it. The compiled units
+    are the chunk-shaped forwards, so compile work is shared across every
+    sequence length T (the one-program scan `_chunked_mimo_device`
+    recompiles its whole two-scan body per distinct T — right for
+    fixed-length protocols, wrong for variable-length datasets)."""
     t = x.shape[1]
     num_seg, rem = divmod(t, psz)
-    outs = []
+    den = np.empty((t,) + tuple(x.shape[2:4]) + (cfg.out_ch,), np.float32)
+    pending = None          # (start_frame, device array) not yet copied out
     carries = None
     future_cur = future
     for i in range(num_seg):
@@ -119,14 +122,23 @@ def _chunked_mimo_async(params, x, cfg, psz, future):
             future_cur = 0
         out, carries = _chunk_forward(params, x[:, start:end_new], cfg,
                                       carries, future_cur)
-        outs.append(out[0, :psz])
+        if pending is not None:
+            s, arr = pending
+            den[s:s + arr.shape[0]] = np.asarray(arr, np.float32)
+        pending = (start, out[0, :psz])
     if rem > 0:
         tail = jnp.concatenate(
             [x[:, num_seg * psz:],
              jnp.flip(x[:, t - (psz - rem) - 1:t - 1], axis=1)], axis=1)
         out, _ = _chunk_forward(params, tail, cfg, carries, 0)
-        outs.append(out[0, :rem])
-    return jnp.concatenate(outs, axis=0)
+        if pending is not None:
+            s, arr = pending
+            den[s:s + arr.shape[0]] = np.asarray(arr, np.float32)
+        pending = (num_seg * psz, out[0, :rem])
+    if pending is not None:
+        s, arr = pending
+        den[s:s + arr.shape[0]] = np.asarray(arr, np.float32)
+    return den
 
 
 def _with_noise_map(seq_thwc, noise_sigma, cfg):
@@ -160,9 +172,10 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
         device_program: run the chunked protocol as ONE device program
             (scan over chunks — fewest dispatches, but the whole program
             recompiles per distinct T; use for fixed-length protocols).
-            The default is the async per-chunk loop: device-resident
-            outputs, one device->host copy, compile units shared across
-            sequence lengths.
+            The default is the async per-chunk loop: each chunk's host
+            copy overlaps the next chunk's execution (bounded ~2-chunk
+            device residency), compile units shared across sequence
+            lengths.
     Returns:
         (T, out_ch, H, W) numpy float32 clamped to [0, 1].
     """

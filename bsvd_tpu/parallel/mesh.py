@@ -76,6 +76,17 @@ def init_distributed(coordinator_address=None, num_processes=None,
             coordinator_address = f'{head}:{p}'
 
     if coordinator_address is not None:
+        # Explicit-address calls may still source counts from the env
+        # (init_distributed('host:port') with BSVD_NUM_PROCESSES exported).
+        if num_processes is None:
+            num_processes = env.get('BSVD_NUM_PROCESSES')
+        if process_id is None:
+            process_id = env.get('BSVD_PROCESS_ID')
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                'init_distributed: coordinator_address given but '
+                'num_processes/process_id unresolved — pass them explicitly '
+                'or export BSVD_NUM_PROCESSES/BSVD_PROCESS_ID')
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=int(num_processes),

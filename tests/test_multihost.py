@@ -54,3 +54,31 @@ def test_two_process_mesh_train_step():
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'multihost worker {i}/2 ok' in out, out
         assert "mesh={'data': 4, 'spatial': 2}" in out, out
+
+
+def test_init_distributed_explicit_address_requires_counts(monkeypatch):
+    """Explicit coordinator_address with unresolved counts must fail loudly
+    (and may source them from BSVD_NUM_PROCESSES/BSVD_PROCESS_ID) instead of
+    reaching jax.distributed.initialize with int(None)."""
+    import bsvd_tpu.parallel.mesh as mesh_mod
+    monkeypatch.setattr(mesh_mod, '_dist_initialized', False)
+    for var in ('BSVD_COORDINATOR', 'BSVD_NUM_PROCESSES', 'BSVD_PROCESS_ID',
+                'SLURM_PROCID'):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError, match='num_processes/process_id'):
+        mesh_mod.init_distributed('127.0.0.1:12345')
+
+    # env fallback path resolves the counts (initialize itself is stubbed:
+    # actually joining a cluster is the slow test above)
+    seen = {}
+
+    def fake_init(**kw):
+        seen.update(kw)
+    monkeypatch.setattr(mesh_mod.jax.distributed, 'initialize', fake_init)
+    monkeypatch.setattr(mesh_mod.jax, 'process_index', lambda: 0)
+    monkeypatch.setattr(mesh_mod.jax, 'process_count', lambda: 2)
+    monkeypatch.setenv('BSVD_NUM_PROCESSES', '2')
+    monkeypatch.setenv('BSVD_PROCESS_ID', '0')
+    assert mesh_mod.init_distributed('127.0.0.1:12345') == (0, 2)
+    assert seen['num_processes'] == 2 and seen['process_id'] == 0
+    monkeypatch.setattr(mesh_mod, '_dist_initialized', False)

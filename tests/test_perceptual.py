@@ -183,3 +183,17 @@ def test_psnr_loss_per_image_log_and_to_y():
     t4 = jnp.transpose(tgt, (0, 3, 1, 2))
     np.testing.assert_allclose(float(PSNRLoss(to_y=True)(p4, t4)),
                                scale * np.mean(np.log(ymse + 1e-8)), rtol=1e-5)
+
+    # NTCHW video: channels live at axis 2 — with T == 3 the time axis must
+    # NOT be mistaken for RGB (the mix would run across frames)
+    p5 = jnp.stack([p4, p4 * 0.5, p4 * 0.25], axis=1)   # (N, T=3, C=3, H, W)
+    t5 = jnp.stack([t4, t4 * 0.5, t4 * 0.25], axis=1)
+    # Y of scaled RGB: coef linear part scales, +16 offset does not
+    def y5(x, s):
+        return ((np.asarray(x) * coef).sum(-1, keepdims=True) * s + 16.) / 255.
+    ymse5 = np.stack(
+        [np.square(y5(pred, s) - y5(tgt, s)).mean(axis=(1, 2, 3))
+         for s in (1., .5, .25)], axis=1).mean(axis=1)
+    np.testing.assert_allclose(float(PSNRLoss(to_y=True)(p5, t5)),
+                               scale * np.mean(np.log(ymse5 + 1e-8)),
+                               rtol=1e-5)
