@@ -32,7 +32,7 @@ def _nfchw_to_nthwc(x):
 
 
 def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
-                    params_template=None, mesh=None):
+                    params_template=None, mesh=None, amp=False):
     """Build the pure (params, opt_state, ema, batch, it, ema_decay) update.
 
     Loss = pixel + perceptual(+style) like the reference optimize_parameters
@@ -41,7 +41,16 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
 
     With norm='bn' and a params template, the forward runs train-mode
     BatchNorm and the step folds the running-stat momentum update back into
-    the params (torch BN training semantics)."""
+    the params (torch BN training semantics).
+
+    With ``amp=True`` (config key ``train.fp16`` — the reference wraps its
+    train step in ``torch.cuda.amp.autocast``, train_pipeline.py:175) the
+    net forward/backward runs in bfloat16 while master params, loss,
+    optimizer state and EMA stay fp32 — the TPU-native AMP equivalent
+    (bf16 needs no loss scaling). The perceptual (VGG) loss is computed on
+    the fp32-cast output. For norm='bn' AMP is disabled: torch autocast
+    keeps BN in fp32, and bf16 batch stats would corrupt the fp32 running
+    stats; the shipped BSVD train configs use norm='none'."""
     bn_paths = None
     if cfg.norm == 'bn' and params_template is not None:
         from bsvd_tpu.nn.layers import bn_stats_with_paths, bn_training
@@ -56,17 +65,30 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
             return 0
         jax.eval_shape(probe, params_template)
         bn_paths = resolved_paths
+    if bn_paths is not None and amp:
+        get_root_logger().warning(
+            'train.fp16 ignored for norm=bn (BN batch stats stay fp32, '
+            'matching autocast BN policy)')
+        amp = False
 
     def loss_fn(params, lq, gt):
+        if amp:
+            cast = (lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a)
+            fwd_params = jax.tree.map(cast, params)
+            lq = lq.astype(jnp.bfloat16)
+        else:
+            fwd_params = params
         if bn_paths is not None:
             from bsvd_tpu.nn.layers import bn_training
             coll = []
             with bn_training(coll):
-                out = wnet_apply(params, lq, cfg)
+                out = wnet_apply(fwd_params, lq, cfg)
             stats = [(m, v, n) for (_, m, v, n) in coll]
         else:
-            out = wnet_apply(params, lq, cfg)
+            out = wnet_apply(fwd_params, lq, cfg)
             stats = []
+        out = out.astype(jnp.float32)
         total = 0.
         losses = {}
         if cri_pix is not None:
@@ -226,9 +248,15 @@ class DenoisingModel(BaseModel):
         self.tx = self._build_optimizer(train_opt)
         self.opt_state = self.tx.init(self.params)
 
+        amp = bool(train_opt.get('fp16', False))
+        if amp:
+            logger.info('Mixed-precision training: bf16 compute, fp32 '
+                        'master params/optimizer (reference '
+                        'train_pipeline.py:175 autocast equivalent)')
         step = make_train_step(self.cfg, self.tx, self.cri_pix,
                                cri_perceptual=self.cri_perceptual,
-                               params_template=self.params, mesh=self.mesh)
+                               params_template=self.params, mesh=self.mesh,
+                               amp=amp)
         repl = replicated_sharding(self.mesh)
         bsh5 = batch_sharding(self.mesh, 5, batch_axis=0, spatial_axis=2)
         self._train_step = jax.jit(

@@ -138,6 +138,47 @@ def test_train_step_loss_decreases(train_data, tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+def test_amp_training_bf16(train_data, tmp_path):
+    """`train.fp16` runs forward/backward in bf16 with fp32 master params —
+    the TPU equivalent of the reference's autocast-wrapped train step
+    (train_pipeline.py:175). The bf16 loss must track fp32 closely and the
+    loss must still decrease."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsvd_tpu.data import build_dataset
+    from bsvd_tpu.models import build_model
+    from bsvd_tpu.utils.options import parse_options
+    opt_path = _train_opt(train_data, tmp_path)
+    opt, _ = parse_options(str(tmp_path), is_train=True, opt_path=opt_path)
+    os.makedirs(opt['path']['models'], exist_ok=True)
+    os.makedirs(opt['path']['training_states'], exist_ok=True)
+    loader = build_dataset({**opt['datasets']['train'], 'num_devices': 2,
+                            'manual_seed': 0})
+    batch = next(iter(loader))
+    loader.close()
+
+    losses = {}
+    for amp in (False, True):
+        o = copy.deepcopy(opt)
+        o['train']['fp16'] = amp
+        o['num_gpu'] = 1          # plain (non-shard_map) step: cheap compile
+        model = build_model(o)
+        ls = []
+        for it in range(1, 4):
+            model.feed_data(batch)
+            model.optimize_parameters(it)
+            ls.append(float(model.log_dict['l_pix']))
+        losses[amp] = ls
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree.leaves(model.params)), \
+            'master params must stay fp32 under AMP'
+    assert losses[True][-1] < losses[True][0], losses[True]
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=0.05)
+
+
 def test_bn_training_updates_running_stats(train_data, tmp_path):
     """norm='bn' trains with batch stats and folds running-stat updates
     (torch BN train semantics); eval uses the running stats."""
