@@ -66,6 +66,12 @@ class WNetConfig:
     # backend/shape supports it (bsvd_tpu/ops/shift_conv.py). Semantics are
     # identical; forward is ~1.2-1.5x faster on TPU. Falls back silently.
     use_fused: bool = True
+    # Rematerialize each stage on the backward pass (jax.checkpoint): the
+    # grad stores only stage boundaries instead of every intermediate,
+    # trading ~1 extra forward of FLOPs for activation memory — enables
+    # larger batches / longer clips per chip. TPU-native extension (no
+    # reference counterpart); forward-only inference is unaffected.
+    remat: bool = False
 
     def __post_init__(self):
         get_norm(self.norm)
@@ -577,13 +583,18 @@ def wnet_apply(params, x, cfg):
         # chain every stage in the width-folded domain: fold once, unfold
         # once — stage-boundary unfold/refold pairs otherwise materialize
         # as two full-tensor copies each (XLA does not cancel them)
+        stage_f = _stage_apply_folded
+        if cfg.remat:
+            stage_f = jax.checkpoint(stage_f, static_argnums=(2, 3, 4))
         xf = _fold2(x)
         for i in range(cfg.stage_num):
-            xf = _stage_apply_folded(params[f'stage{i}'], xf, cfg, act,
-                                     fold_io=True)
+            xf = stage_f(params[f'stage{i}'], xf, cfg, act, True)
         return _unfold2(xf)
+    stage = _stage_apply
+    if cfg.remat:
+        stage = jax.checkpoint(stage, static_argnums=(2, 3))
     for i in range(cfg.stage_num):
-        x = _stage_apply(params[f'stage{i}'], x, cfg, act)
+        x = stage(params[f'stage{i}'], x, cfg, act)
     return x
 
 
@@ -716,6 +727,7 @@ class TSN(_WNetBase):
             fold_div=shift_div,
             residual_ch=net2d_opt.pop('residual_ch', 3),
             use_fused=net2d_opt.pop('use_fused', True),
+            remat=net2d_opt.pop('remat', False),
         )
         _warn_unknown_opts('TSN net2d_opt', net2d_opt)
         self.num_segments = num_segments

@@ -179,6 +179,30 @@ def test_amp_training_bf16(train_data, tmp_path):
     np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=0.05)
 
 
+def test_remat_grads_match():
+    """Stage-level rematerialization (net2d_opt.remat — jax.checkpoint per
+    stage) must not change gradients, only the memory/FLOPs trade."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_apply, wnet_init
+    cfg = WNetConfig(chns=(8, 16, 32), mid_ch=8, interm_ch=8, norm='none',
+                     act='relu6', shift_mode='TSM')
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (1, 4, 16, 16, cfg.effective_in_ch))
+
+    def loss(p, c):
+        return jnp.mean(wnet_apply(p, x, c) ** 2)
+
+    g0 = jax.grad(loss)(params, cfg)
+    g1 = jax.grad(loss)(params, dataclasses.replace(cfg, remat=True))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_bn_training_updates_running_stats(train_data, tmp_path):
     """norm='bn' trains with batch stats and folds running-stat updates
     (torch BN train semantics); eval uses the running stats."""
