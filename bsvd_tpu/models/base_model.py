@@ -73,10 +73,18 @@ class BaseModel:
                      param_key='params'):
         """Save one or more param trees into models/net_<label>_<iter>.npz.
 
+        Rank-gated: only the main process writes (reference
+        base_model.py:170 ``@master_only``) — in a multi-host cluster all
+        processes hold identical replicated params and would race on the
+        same path.
+
         Args:
             param_trees: tree or list of trees.
             param_key: str or list matching param_trees.
         """
+        from bsvd_tpu.parallel.mesh import is_main_process
+        if not is_main_process():
+            return None
         if current_iter == -1:
             current_iter = 'latest'
         save_filename = f'net_{net_label}_{current_iter}.npz'
@@ -125,8 +133,10 @@ class BaseModel:
     def save_training_state(self, epoch, current_iter, opt_state=None,
                             extra=None):
         """training_states/<iter>.state: epoch, iter, optimizer state
-        (reference base_model.py:280-313)."""
-        if current_iter == -1:
+        (reference base_model.py:280-313). Rank-gated like save_network
+        (reference base_model.py:280 ``@master_only``)."""
+        from bsvd_tpu.parallel.mesh import is_main_process
+        if current_iter == -1 or not is_main_process():
             return
         state = {'epoch': epoch, 'iter': current_iter,
                  'opt_state': opt_state, 'extra': extra or {}}

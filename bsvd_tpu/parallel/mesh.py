@@ -21,6 +21,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _dist_initialized = False
 
 
+def is_main_process():
+    """True on the coordinator process (rank 0) — the analogue of the
+    reference's ``get_dist_info()[0] == 0``
+    (BasicSR/basicsr/utils/dist_util.py:60-70). Single-process runs are
+    always main."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def master_only(func):
+    """Run ``func`` only on the main process (reference ``@master_only``,
+    dist_util.py:73-82): in a multi-host cluster every process executes the
+    same single-controller script, so checkpoint/log/CSV writes against the
+    shared filesystem must be rank-gated or N processes race on the same
+    paths."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if is_main_process():
+            return func(*args, **kwargs)
+        return None
+    return wrapper
+
+
+def get_shard_map():
+    """(shard_map, relax_kwargs) across jax versions: the replication/VMA
+    check kwarg was renamed in jax 0.8."""
+    try:
+        from jax import shard_map          # jax >= 0.8
+        return shard_map, {'check_vma': False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {'check_rep': False}   # pre-0.8 spelling
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None, local_device_ids=None, port=None):
     """Multi-host (DCN-spanning) bring-up: ``jax.distributed.initialize``

@@ -9,17 +9,23 @@ initialized_logger = {}
 
 
 def get_root_logger(logger_name='bsvd_tpu', log_level=logging.INFO, log_file=None):
-    """Root logger with console + optional file handler (created once)."""
+    """Root logger with console + optional file handler (created once).
+
+    Multi-host: only the main process logs at ``log_level`` and writes the
+    log file; the others are ERROR-only with no file handler (reference:
+    BasicSR/basicsr/utils/logger.py:142-181 rank-0 gating)."""
     logger = logging.getLogger(logger_name)
     if logger_name in initialized_logger:
         return logger
+    from bsvd_tpu.parallel.mesh import is_main_process
+    main = is_main_process()
     format_str = '%(asctime)s %(levelname)s: %(message)s'
     stream_handler = logging.StreamHandler()
     stream_handler.setFormatter(logging.Formatter(format_str))
     logger.addHandler(stream_handler)
     logger.propagate = False
-    logger.setLevel(log_level)
-    if log_file is not None:
+    logger.setLevel(log_level if main else logging.ERROR)
+    if log_file is not None and main:
         file_handler = logging.FileHandler(log_file, 'w')
         file_handler.setFormatter(logging.Formatter(format_str))
         file_handler.setLevel(log_level)
@@ -136,6 +142,11 @@ class TBLogger:
 
 
 def init_tb_logger(log_dir):
+    """TensorBoard writer — main process only (reference logger.py:114-120
+    ``@master_only``); callers treat None as 'no TB'."""
+    from bsvd_tpu.parallel.mesh import is_main_process
+    if not is_main_process():
+        return None
     return TBLogger(log_dir)
 
 
@@ -151,8 +162,12 @@ def get_env_info():
 
 def init_wandb_logger(opt):
     """Sync the TB log to wandb (reference: BasicSR/basicsr/utils/logger.py
-    :122-139). wandb is not bundled in this image; the import error surfaces
-    with a clear message when the config asks for it."""
+    :122-139). Main process only (reference ``@master_only``). wandb is not
+    bundled in this image; the import error surfaces with a clear message
+    when the config asks for it."""
+    from bsvd_tpu.parallel.mesh import is_main_process
+    if not is_main_process():
+        return None
     try:
         import wandb
     except ImportError as e:

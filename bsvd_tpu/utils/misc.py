@@ -21,7 +21,12 @@ def mkdir_and_rename(path):
 
 
 def make_exp_dirs(opt):
-    """Create the experiment directory tree for the run."""
+    """Create the experiment directory tree for the run. Main process only
+    (reference misc.py:29 ``@master_only``): the archive-rename of an
+    existing experiment dir must not race across hosts."""
+    from bsvd_tpu.parallel.mesh import is_main_process
+    if not is_main_process():
+        return
     path_opt = dict(opt['path'])
     if opt['is_train']:
         mkdir_and_rename(path_opt.pop('experiments_root'))

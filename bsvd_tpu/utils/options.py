@@ -184,7 +184,11 @@ def parse_options(root_path, is_train=True, cmd=None, opt_path=None):
 
 
 def copy_opt_file(opt_file, experiments_root):
-    """Archive the option file into the experiment dir with a launch stamp."""
+    """Archive the option file into the experiment dir with a launch stamp.
+    Main process only (reference options.py:184 ``@master_only``)."""
+    from bsvd_tpu.parallel.mesh import is_main_process
+    if not is_main_process():
+        return
     cmd = ' '.join(os.sys.argv)
     filename = osp.join(experiments_root, osp.basename(opt_file))
     shutil.copyfile(opt_file, filename)

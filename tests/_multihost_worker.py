@@ -52,5 +52,26 @@ mesh = make_mesh(spatial=2)
 cfg = WNetConfig(chns=(16, 32, 64), mid_ch=16, interm_ch=16,
                  norm='none', act='relu6', shift_mode='TSM')
 loss = run_sharded_train_step(mesh, cfg=cfg)
+
+# rank-gated I/O: every process calls the save/log APIs; only the main
+# process may touch the shared filesystem (reference @master_only,
+# BasicSR/basicsr/utils/dist_util.py:60-82). The parent test counts files.
+outdir = os.environ.get('MH_TEST_OUTDIR')
+if outdir:
+    import jax.numpy as jnp
+    from bsvd_tpu.models.base_model import BaseModel
+    from bsvd_tpu.utils import get_root_logger, init_tb_logger
+
+    class _M(BaseModel):
+        pass
+
+    m = _M({'is_train': True,
+            'path': {'models': outdir, 'training_states': outdir}})
+    m.save_network({'w': jnp.zeros((2, 2))}, 'g', 1)
+    m.save_training_state(0, 1, opt_state={'count': jnp.zeros(())})
+    get_root_logger(log_file=os.path.join(outdir, f'train_p{pid}.log'))
+    tb = init_tb_logger(os.path.join(outdir, f'tb_p{pid}'))
+    assert (tb is not None) == (pid == 0), 'TB writer must be rank-gated'
+
 print(f'multihost worker {pid}/{pcount} ok: mesh={dict(mesh.shape)} '
       f'l_pix={loss:.4f}', flush=True)

@@ -22,10 +22,12 @@ def _free_port():
     return port
 
 
-def _run_cluster():
+def _run_cluster(outdir=None):
     coord = f'127.0.0.1:{_free_port()}'
     env = {k: v for k, v in os.environ.items()
            if not k.startswith('BSVD_') and k != 'XLA_FLAGS'}
+    if outdir is not None:
+        env['MH_TEST_OUTDIR'] = str(outdir)
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(i), '2', coord], cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
@@ -43,17 +45,28 @@ def _run_cluster():
 
 
 @pytest.mark.slow
-def test_two_process_mesh_train_step():
+def test_two_process_mesh_train_step(tmp_path):
     # one retry: the coordinator handshake can time out under heavy CPU
     # contention when the whole suite runs on a small host
     for attempt in range(2):
-        procs, outs = _run_cluster()
+        procs, outs = _run_cluster(outdir=tmp_path)
         if all(p.returncode == 0 for p in procs) or attempt == 1:
             break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'multihost worker {i}/2 ok' in out, out
         assert "mesh={'data': 4, 'spatial': 2}" in out, out
+
+    # rank-gated I/O: BOTH workers called save_network/save_training_state/
+    # file-logger/TB init, but only process 0 may have written
+    ckpts = sorted(f.name for f in tmp_path.glob('*.npz'))
+    states = sorted(f.name for f in tmp_path.glob('*.state'))
+    logs = sorted(f.name for f in tmp_path.glob('*.log'))
+    tbs = sorted(f.name for f in tmp_path.glob('tb_p*'))
+    assert ckpts == ['net_g_1.npz'], ckpts
+    assert states == ['1.state'], states
+    assert logs == ['train_p0.log'], logs
+    assert tbs in ([], ['tb_p0']), tbs   # TB dir exists only if tf present
 
 
 def test_init_distributed_explicit_address_requires_counts(monkeypatch):
