@@ -547,6 +547,29 @@ def stream_step(params, state, x, valid, cfg, assume_filled=False):
     return new_state, x, valid
 
 
+def stream_state_specs(cfg):
+    """PartitionSpec pytree matching stream_init's structure: the stream
+    batch N rides the mesh 'data' axis (N-stream serving), scalars/counters
+    replicated. Ring buffers are (depth, N, H, W, C) — N is axis 1."""
+    from jax.sharding import PartitionSpec as P
+
+    def bib():
+        return {'packed': P('data'), 'has_center': P()}
+
+    def ring():
+        return {'buf': P(None, 'data'), 'w': P(), 'r': P()}
+
+    specs = []
+    for _ in range(cfg.stage_num):
+        st = {'down0': [bib(), bib()], 'down1': [bib(), bib()],
+              'up2': [bib(), bib()], 'up1': [bib(), bib()],
+              'skip1': ring(), 'skip2': ring(), 'skip3': ring()}
+        if cfg.shift_input:
+            st['inc'] = [bib(), bib()]
+        specs.append(st)
+    return specs
+
+
 def pipeline_latency(cfg):
     """Output delay in frames (== reference BSVD.shift_num for bidirectional;
     0 for the causal variant, which needs no future context)."""
@@ -602,29 +625,72 @@ class StreamDenoiser:
         for out in sd.flush(): emit(out)
     """
 
-    def __init__(self, params, cfg, batch, height, width, dtype=jnp.float32):
+    def __init__(self, params, cfg, batch, height, width, dtype=jnp.float32,
+                 mesh=None):
         self.cfg = cfg
         self.params = params
         self._shape = (batch, height, width)
         self.dtype = dtype
         self.latency = pipeline_latency(cfg)
+        # N-stream serving: with a mesh whose 'data' axis divides the stream
+        # batch, every step runs inside shard_map with the batch sharded
+        # over 'data' — N chips each advance their streams' pipelines, and
+        # the Pallas kernels stay engaged per-shard (GSPMD cannot partition
+        # custom calls). Single-stream spatial scaling uses the MIMO
+        # spatial path (parallel/spatial.py) via push_block-sized chunks
+        # instead; per-frame spatial streaming is not sharded.
+        self.mesh = None
+        if mesh is not None:
+            shape = dict(mesh.shape)
+            if (shape.get('data', 1) > 1 and shape.get('spatial', 1) == 1
+                    and batch % shape['data'] == 0):
+                self.mesh = mesh
+
+        def _wrap(fn):
+            """shard_map the (params, state, frame) -> (state, out) step over
+            the stream batch when a mesh is configured."""
+            if self.mesh is None:
+                return fn
+            import functools
+            from jax.sharding import PartitionSpec as P
+            from bsvd_tpu.parallel.mesh import get_shard_map
+            shard_map, relax = get_shard_map()
+            sspec = stream_state_specs(cfg)
+            return functools.partial(
+                shard_map, mesh=self.mesh,
+                in_specs=(P(), sspec, P('data')),
+                out_specs=(sspec, P('data')), **relax)(fn)
+
         # three compiled variants: fill (traced masking), steady state
         # (mask-free: every buffer primed, input always valid), drain
         self._step_fill = jax.jit(
-            lambda p, s, f: stream_step(p, s, f, True, cfg),
+            _wrap(lambda p, s, f: stream_step(p, s, f, True, cfg)[:2]),
             donate_argnums=(1,))
         self._step_steady = jax.jit(
-            lambda p, s, f: stream_step(p, s, f, True, cfg, assume_filled=True),
+            _wrap(lambda p, s, f: stream_step(p, s, f, True, cfg,
+                                              assume_filled=True)[:2]),
             donate_argnums=(1,))
         self._step_drain = jax.jit(
-            lambda p, s, f: stream_step(p, s, f, False, cfg),
+            _wrap(lambda p, s, f: stream_step(p, s, f, False, cfg)[:2]),
             donate_argnums=(1,))
+        self._wrap = _wrap
         self._block_steps = {}      # (F, steady) -> jitted scan (push_block)
         self.reset()
 
     def reset(self):
         n, h, w = self._shape
         self.state = stream_init(self.cfg, n, h, w, self.dtype)
+        if self.mesh is not None:
+            # place state (and params) on the mesh up front so the first
+            # step does not pay a resharding copy
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            flat, treedef = jax.tree.flatten(self.state)
+            specs = treedef.flatten_up_to(stream_state_specs(self.cfg))
+            self.state = jax.tree.unflatten(treedef, [
+                jax.device_put(a, NamedSharding(self.mesh, sp))
+                for a, sp in zip(flat, specs)])
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, P()))
         self._pushed = 0
         self._emitted = 0
 
@@ -632,7 +698,7 @@ class StreamDenoiser:
         frame = jnp.asarray(frame, self.dtype)
         step = (self._step_steady if self._pushed >= self.latency
                 else self._step_fill)
-        self.state, out, _ = step(self.params, self.state, frame)
+        self.state, out = step(self.params, self.state, frame)
         self._pushed += 1
         # Output validity is deterministic (pipeline latency), so no device
         # sync is needed per frame — the step stays fully async.
@@ -675,7 +741,20 @@ class StreamDenoiser:
                     return new_c, out
                 return lax.scan(body, s, fr)
 
-            blk = jax.jit(run, donate_argnums=(1,))
+            if self.mesh is None:
+                wrapped = run
+            else:
+                # frames are (F, N, H, W, C): batch on axis 1
+                import functools
+                from jax.sharding import PartitionSpec as P
+                from bsvd_tpu.parallel.mesh import get_shard_map
+                shard_map, relax = get_shard_map()
+                sspec = stream_state_specs(cfg)
+                wrapped = functools.partial(
+                    shard_map, mesh=self.mesh,
+                    in_specs=(P(), sspec, P(None, 'data')),
+                    out_specs=(sspec, P(None, 'data')), **relax)(run)
+            blk = jax.jit(wrapped, donate_argnums=(1,))
             self._block_steps[key] = blk
         self.state, outs = blk(self.params, self.state, frames)
         res = []
@@ -705,8 +784,8 @@ class StreamDenoiser:
         outs = []
         first_valid = self.latency + self._emitted - self._pushed
         for d in range(self.latency):
-            self.state, out, _ = self._step_drain(self.params, self.state,
-                                                  zero)
+            self.state, out = self._step_drain(self.params, self.state,
+                                               zero)
             if d >= first_valid:
                 outs.append(out)
                 self._emitted += 1

@@ -227,24 +227,29 @@ def _up_conv_psfold(conv_p, x, cfg, act):
     return _fold2(_up_conv_ps(conv_p, x, cfg, act))
 
 
-def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None):
+def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None,
+                   mask=None, level=1):
     """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
     convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
     overriding the default whole-segment shift (used for chunked carry).
     ``x_add``: optional second addend consumed by the FIRST conv with the
-    skip-add fused into the kernel (up1's x1 + x2 entry)."""
+    skip-add fused into the kernel (up1's x1 + x2 entry).
+    ``mask``: optional (x, level) -> x row-validity hook applied after EACH
+    conv site (spatially-sharded forward: zeroes rows outside the global
+    image so per-conv zero-padding semantics hold at the global edges)."""
+    m = (lambda v: v) if mask is None else (lambda v: mask(v, level))
     if temporal and shift_pair is None:
-        x = _shift_conv_act_site(p['c1'], p['n1'], x, cfg, act, x_add)
-        x = _shift_conv_act_site(p['c2'], p['n2'], x, cfg, act)
+        x = m(_shift_conv_act_site(p['c1'], p['n1'], x, cfg, act, x_add))
+        x = m(_shift_conv_act_site(p['c2'], p['n2'], x, cfg, act))
         return x
     if x_add is not None:
         x = x + x_add
     if temporal:
         x = _shift(x, cfg, shift_pair[0] if shift_pair else None)
-    x = act(norm_apply(cfg.norm, p['n1'], conv2d(p['c1'], x)))
+    x = m(act(norm_apply(cfg.norm, p['n1'], conv2d(p['c1'], x))))
     if temporal:
         x = _shift(x, cfg, shift_pair[1] if shift_pair else None)
-    x = act(norm_apply(cfg.norm, p['n2'], conv2d(p['c2'], x)))
+    x = m(act(norm_apply(cfg.norm, p['n2'], conv2d(p['c2'], x))))
     return x
 
 
@@ -421,7 +426,7 @@ def _down_folded(conv_p, norm_p, x_f, cfg, act):
     return act(norm_apply(cfg.norm, norm_p, y))
 
 
-def _stage_apply_folded(p, x, cfg, act, fold_io=False):
+def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
     """DenBlock stage with the full-res segment in the folded domain.
     Mirrors _stage_apply exactly (same site order/semantics).
 
@@ -429,7 +434,15 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     returned un-unfolded — chaining stages entirely in the folded domain
     avoids the unfold/refold reshape pair at stage boundaries, which XLA
     materializes as two full-tensor layout copies (~4.5 ms on the 540p
-    flagship trace) instead of cancelling."""
+    flagship trace) instead of cancelling.
+
+    ``mask``: optional (x, level) -> x row-validity hook for the
+    spatially-sharded forward (parallel/spatial.py): applied after EVERY
+    conv site so global-edge shards reproduce per-conv zero padding
+    exactly. With a mask the in-kernel conv CHAINS are unbundled into
+    single-conv kernels (the chain cannot mask its VMEM intermediate);
+    all other Pallas kernels stay engaged. Width folding is on W, the
+    mask on H — orthogonal."""
     if fold_io:
         xf = x
         in_ch = x.shape[-1] // 2
@@ -437,12 +450,18 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
         xf = _fold2(x)
         in_ch = x.shape[-1]
 
+    m1 = (lambda v: v) if mask is None else (lambda v: mask(v, 1))
+
     rc = cfg.residual_ch
     s_out = p['outc']['c2']['w'].shape[-1]
     xe = None   # >=128-lane input in residual-source lane layout
     if xf.shape[-1] >= 128:
-        x0 = _pair_folded(p['inc']['c1'], p['inc']['c2'], xf, cfg, act,
-                          cfg.act)
+        if mask is None:
+            x0 = _pair_folded(p['inc']['c1'], p['inc']['c2'], xf, cfg, act,
+                              cfg.act)
+        else:
+            x0 = m1(_site_folded(p['inc']['c1'], xf, cfg, act, cfg.act))
+            x0 = m1(_site_folded(p['inc']['c2'], x0, cfg, act, cfg.act))
         if in_ch == s_out:
             xe = xf
     elif (cfg.use_fused and cfg.norm == 'none' and 2 * s_out >= 128
@@ -455,14 +474,22 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
         # reads lanes l%s_out < residual_ch, so extra live channels like
         # the noise map are ignored).
         xe = embed_half_lanes(xf, in_ch, s_out)
-        x0 = _pair_folded(pad_in_channels(p['inc']['c1'], s_out),
-                          p['inc']['c2'], xe, cfg, act, cfg.act)
+        if mask is None:
+            x0 = _pair_folded(pad_in_channels(p['inc']['c1'], s_out),
+                              p['inc']['c2'], xe, cfg, act, cfg.act)
+        else:
+            x0 = m1(_site_folded(pad_in_channels(p['inc']['c1'], s_out),
+                                 xe, cfg, act, cfg.act))
+            x0 = m1(_site_folded(p['inc']['c2'], x0, cfg, act, cfg.act))
     else:
-        x0 = _site_folded(p['inc']['c1'], xf, cfg, act, cfg.act)
-        x0 = _site_folded(p['inc']['c2'], x0, cfg, act, cfg.act)
+        x0 = m1(_site_folded(p['inc']['c1'], xf, cfg, act, cfg.act))
+        x0 = m1(_site_folded(p['inc']['c2'], x0, cfg, act, cfg.act))
 
     x1 = _down_folded(p['down0']['conv'], p['down0']['n'], x0, cfg, act)
-    x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True)
+    if mask is not None:
+        x1 = mask(x1, 2)
+    x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True,
+                        mask=mask, level=2)
 
     d = p['down1']
     if x1.shape[-2] % 2 == 0:
@@ -470,15 +497,22 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
         x2 = _down_folded(d['conv'], d['n'], _fold2(x1), cfg, act)
     else:
         x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
-    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True)
+    if mask is not None:
+        x2 = mask(x2, 4)
+    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, mask=mask, level=4)
 
     u = p['up2']
-    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True)
+    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, mask=mask, level=4)
     x2 = _up_conv_ps(u['conv'], x2, cfg, act)
+    if mask is not None:
+        x2 = mask(x2, 2)
 
     u = p['up1']
-    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2)
+    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2,
+                        mask=mask, level=2)
     x1uf = _up_conv_psfold(u['conv'], x1, cfg, act)
+    if mask is not None:
+        x1uf = mask(x1uf, 1)
 
     o = p['outc']
     n, t, h, wf, _ = x0.shape
@@ -493,7 +527,8 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
 
     # outc c1+c2 + skip-add + residual combine as ONE kernel when the
     # folded output is lane-aligned (ops/conv_chain.conv_chain_add2_res)
-    if cfg.use_fused and cfg.norm == 'none' and cfg.act in KERNEL_ACTS:
+    if mask is None and cfg.use_fused and cfg.norm == 'none' \
+            and cfg.act in KERNEL_ACTS:
         from bsvd_tpu.ops.conv3x3 import fold_width_weights
         from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
                                              conv_chain_supported)
@@ -509,7 +544,11 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
             y = y.reshape(n, t, h, wf, 2 * s_out)
             return y if fold_io else _unfold2(y)
 
-    y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
+    if mask is None:
+        y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)
+    else:
+        y = m1(_site_folded(o['c1'], x0, cfg, act, cfg.act, x2_f=x1uf))
+        y = _site_folded(o['c2'], y, cfg, act, 'none')
 
     # residual combine as ONE fused elementwise pass: select per lane on a
     # static mask (sub-128-lane slicing+concat at full resolution measured
@@ -519,48 +558,66 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False):
     return out_f if fold_io else _unfold2(out_f)
 
 
-def _stage_apply(p, x, cfg, act, shift_fns=None):
-    """One DenBlock stage. ``shift_fns``: optional list of per-shift-site
-    closures (used by chunked inference to thread carries); consumed in call
-    order via a mutable iterator."""
+def _stage_apply(p, x, cfg, act, shift_fns=None, mask=None):
+    """One DenBlock stage. ``shift_fns``: optional SEQUENCE of per-shift-site
+    functions for this stage (len == 8, or 10 with shift_input), indexed
+    POSITIONALLY at fixed sites — site k is always shift_fns[k] regardless
+    of trace/call order (the round-3 mutable-iterator protocol consumed
+    them in call order, which silently mismatched carries under
+    reorderings). ``mask``: optional (x, level) -> x row-validity hook
+    applied after every conv site (spatially-sharded forward, see
+    _stage_apply_folded)."""
     if shift_fns is None and _folded_stems_ok(x, cfg):
-        return _stage_apply_folded(p, x, cfg, act)
+        return _stage_apply_folded(p, x, cfg, act, mask=mask)
 
-    def next_shift():
+    m1 = (lambda v: v) if mask is None else (lambda v: mask(v, 1))
+
+    def pair(k):
+        """Shift fns for sites (k, k+1) of this stage, or None."""
         if shift_fns is None:
             return None
-        return next(shift_fns)
+        return (shift_fns[k], shift_fns[k + 1])
 
+    off = 2 if cfg.shift_input else 0
     if cfg.shift_input:
-        sf1, sf2 = next_shift(), next_shift()
-        xs = _shift(x, cfg, sf1)
-        x0 = act(norm_apply(cfg.norm, p['inc']['n1'], conv2d(p['inc']['c1'], xs)))
-        x0 = _shift(x0, cfg, sf2)
-        x0 = act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+        xs = _shift(x, cfg, shift_fns[0] if shift_fns else None)
+        x0 = m1(act(norm_apply(cfg.norm, p['inc']['n1'], conv2d(p['inc']['c1'], xs))))
+        x0 = _shift(x0, cfg, shift_fns[1] if shift_fns else None)
+        x0 = m1(act(norm_apply(cfg.norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0))))
     else:
-        x0 = _plain_conv_act(p['inc']['c1'], p['inc']['n1'], x, cfg, act)
-        x0 = _plain_conv_act(p['inc']['c2'], p['inc']['n2'], x0, cfg, act)
+        x0 = m1(_plain_conv_act(p['inc']['c1'], p['inc']['n1'], x, cfg, act))
+        x0 = m1(_plain_conv_act(p['inc']['c2'], p['inc']['n2'], x0, cfg, act))
 
     d = p['down0']
     x1 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x0, stride=2)))
-    x1 = _cvblock_apply(d['cv'], x1, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    if mask is not None:
+        x1 = mask(x1, 2)
+    x1 = _cvblock_apply(d['cv'], x1, cfg, act, True, pair(off),
+                        mask=mask, level=2)
 
     d = p['down1']
     x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
-    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    if mask is not None:
+        x2 = mask(x2, 4)
+    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, pair(off + 2),
+                        mask=mask, level=4)
 
     u = p['up2']
-    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, (next_shift(), next_shift()) if shift_fns else None)
+    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, pair(off + 4),
+                        mask=mask, level=4)
     x2 = _up_conv_ps(u['conv'], x2, cfg, act)
+    if mask is not None:
+        x2 = mask(x2, 2)
 
     u = p['up1']
-    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True,
-                        (next_shift(), next_shift()) if shift_fns else None,
-                        x_add=x2)
+    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, pair(off + 6),
+                        x_add=x2, mask=mask, level=2)
     x1 = _up_conv_ps(u['conv'], x1, cfg, act)
+    if mask is not None:
+        x1 = mask(x1, 1)
 
     o = p['outc']
-    y = _plain_conv_act(o['c1'], o['n1'], x0 + x1, cfg, act)
+    y = m1(_plain_conv_act(o['c1'], o['n1'], x0 + x1, cfg, act))
     y = conv2d(o['c2'], y)
 
     # Residual on the first residual_ch (RGB/raw) channels only
@@ -606,35 +663,33 @@ def wnet_apply(params, x, cfg):
 def wnet_apply_chunk(params, x, cfg, carries, future_buffer_len=0):
     """Forward one chunk, threading per-shift-site carries.
 
+    Carry indexing is POSITIONAL: global site index = stage * per_stage +
+    local site, where local sites are fixed structural positions in
+    _stage_apply (inc?, down0 x2, down1 x2, up2 x2, up1 x2) — identical
+    ordering to the reference's global FIFO queue, but slot-addressed, so a
+    trace reordering can never mismatch a carry with its site.
+
     Args:
-        carries: list of per-site carry arrays (or None on the first chunk),
-            ordered by shift-site call order — FIFO identical to the
-            reference's global queue.
+        carries: list of per-site carry arrays (or None on the first chunk).
     Returns:
         (out, new_carries)
     """
     act = get_act(cfg.act)
-    new_carries = []
-    site = {'i': 0}
+    per_stage = cfg.shift_num // cfg.stage_num
+    new_carries = [None] * cfg.shift_num
 
-    def make_shift_fn():
-        idx = site['i']
-        site['i'] += 1
-
+    def make_site_fn(idx):
         def fn(h):
             carry = None if carries is None else carries[idx]
             shifted, new_c = temporal_shift_chunk(
                 h, carry, cfg.fold_div, cfg.shift_mode,
                 future_buffer_len=future_buffer_len)
-            while len(new_carries) <= idx:
-                new_carries.append(None)
-            new_carries[idx] = new_c
+            new_carries[idx] = new_c       # slot-keyed, order-independent
             return shifted
         return fn
 
-    n_sites = cfg.shift_num
-    fns = iter([make_shift_fn() for _ in range(n_sites)])
     for i in range(cfg.stage_num):
+        fns = [make_site_fn(i * per_stage + j) for j in range(per_stage)]
         x = _stage_apply(params[f'stage{i}'], x, cfg, act, shift_fns=fns)
     return x, new_carries
 

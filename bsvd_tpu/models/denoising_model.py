@@ -31,6 +31,16 @@ def _nfchw_to_nthwc(x):
     return jnp.transpose(x, (0, 1, 3, 4, 2))
 
 
+import functools                                       # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _jit_wnet_apply(params, x, cfg):
+    """Plain whole-batch forward (the reference EMA-branch semantics: no
+    clamp, no padding — reference denoising_model.py:173-177)."""
+    return wnet_apply(params, x, cfg)
+
+
 def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
                     params_template=None, mesh=None, amp=False):
     """Build the pure (params, opt_state, ema, batch, it, ema_decay) update.
@@ -113,34 +123,61 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
             loss_fn, has_aux=True)(params, lq, gt)
         return grads, loss_dict, stats
 
+    n_spatial = dict(mesh.shape).get('spatial', 1) if mesh is not None else 1
     if (mesh is not None and mesh.size > 1 and bn_paths is None
-            and dict(mesh.shape).get('spatial', 1) == 1):
-        # Data-parallel via shard_map: each device runs the forward/backward
-        # on ITS batch shard — this keeps the Pallas kernels usable under a
-        # multi-device mesh (GSPMD has no partitioning rules for custom
-        # calls and would replicate their operands). Gradients/losses are
-        # pmean'd over the 'data' axis; the optimizer then updates
-        # replicated params identically on every device. BN configs stay on
-        # the GSPMD path (their fused kernels are gated off anyway, and
-        # batch stats there are computed over the GLOBAL batch).
+            and (n_spatial == 1
+                 or (cri_perceptual is None and cfg.norm == 'none'))):
+        # shard_map SPMD step: each device runs the forward/backward on ITS
+        # shard — this keeps the Pallas kernels usable under a multi-device
+        # mesh (GSPMD has no partitioning rules for custom calls and would
+        # replicate their operands). Batch rides 'data'; with a 'spatial'
+        # axis the frame height additionally shards across it via the
+        # halo-exchange forward (parallel/spatial.py) and each shard's
+        # pixel loss covers its own rows. Gradients/losses are pmean'd over
+        # the mesh; the optimizer then updates replicated params
+        # identically on every device. BN configs (global-batch stats) and
+        # spatial+perceptual (VGG needs full frames) stay on the GSPMD
+        # path below.
         import functools
-        try:
-            from jax import shard_map          # jax >= 0.8
-            relax = {'check_vma': False}
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
-            relax = {'check_rep': False}       # pre-0.8 spelling
         from jax.sharding import PartitionSpec as P
+        from bsvd_tpu.parallel.mesh import get_shard_map
+        shard_map, relax = get_shard_map()
+        axes = ('data', 'spatial') if n_spatial > 1 else ('data',)
+        bspec = P('data', None, 'spatial') if n_spatial > 1 else P('data')
+
+        if n_spatial > 1:
+            from bsvd_tpu.parallel.spatial import _local_forward
+
+            def local_loss(p, lq_loc, gt_loc):
+                if amp:
+                    cast = (lambda a: a.astype(jnp.bfloat16)
+                            if a.dtype == jnp.float32 else a)
+                    p = jax.tree.map(cast, p)
+                    lq_loc = lq_loc.astype(jnp.bfloat16)
+                hg = lq_loc.shape[2] * n_spatial
+                out = _local_forward(p, lq_loc, cfg, hg, 'spatial')
+                out = out.astype(jnp.float32)
+                l_pix = cri_pix(out, gt_loc)
+                return l_pix, {'l_pix': l_pix}
+
+            def shard_grads_fn(p, lq, gt):
+                (_, loss_dict), grads = jax.value_and_grad(
+                    local_loss, has_aux=True)(p, lq, gt)
+                return grads, loss_dict
+        else:
+            def shard_grads_fn(p, lq, gt):
+                grads, loss_dict, _ = grads_and_losses(p, lq, gt)
+                return grads, loss_dict
 
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P('data'), P('data')),
+            in_specs=(P(), bspec, bspec),
             out_specs=(P(), P()),
             **relax)
         def sharded_grads(p, lq, gt):
-            grads, loss_dict, _ = grads_and_losses(p, lq, gt)
-            grads = jax.lax.pmean(grads, 'data')
-            loss_dict = jax.lax.pmean(loss_dict, 'data')
+            grads, loss_dict = shard_grads_fn(p, lq, gt)
+            grads = jax.lax.pmean(grads, axes)
+            loss_dict = jax.lax.pmean(loss_dict, axes)
             return grads, loss_dict
 
         def step(params, opt_state, ema_params, batch, it, ema_decay):
@@ -154,6 +191,12 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
             return params, opt_state, ema_params, loss_dict
 
         return step
+
+    if n_spatial > 1:
+        # GSPMD fallback (BN / spatial+perceptual): custom calls have no
+        # partitioning rules -> run the XLA conv path
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_fused=False)
 
     def step(params, opt_state, ema_params, batch, it, ema_decay):
         grads, loss_dict, stats = grads_and_losses(params, batch['lq'],
@@ -200,19 +243,12 @@ class DenoisingModel(BaseModel):
         par = dict(opt.get('parallel') or {})
         self.mesh = make_mesh(opt.get('num_gpu', 'auto'),
                               spatial=int(par.get('spatial', 1)))
-        # Pallas custom calls carry no GSPMD partitioning rules, so a
-        # SPATIALLY sharded tensor reaching a fused kernel would be
-        # silently replicated across the mesh. Spatial meshes therefore
-        # take the XLA conv path, which GSPMD partitions with automatic
-        # halo exchange. Data-only multi-device meshes KEEP the fused
-        # kernels: the train step runs them per-shard inside shard_map
-        # (make_train_step), and eval does not shard without a spatial
-        # axis.
-        if (dict(self.mesh.shape).get('spatial', 1) > 1
-                and getattr(self.cfg, 'use_fused', False)):
-            import dataclasses
-            self.cfg = dataclasses.replace(self.cfg, use_fused=False)
-            self.net.cfg = self.cfg
+        # Spatial meshes keep the fused Pallas kernels: train and whole-clip
+        # eval run them per-shard inside shard_map with explicit halo
+        # exchange (parallel/spatial.py); only the GSPMD-partitioned
+        # fallbacks (chunked protocols, BN, spatial+perceptual) flip
+        # use_fused off locally, since GSPMD has no partitioning rules for
+        # custom calls (see make_train_step / seq_inference.denoise_seq).
 
         if self.is_train:
             self.init_training_settings()
@@ -336,9 +372,35 @@ class DenoisingModel(BaseModel):
 
     def test(self):
         """Full-sequence inference with padding, using the configured
-        protocol (temp_psz / future_buffer_len / streaming_eval / fp16)."""
+        protocol (temp_psz / future_buffer_len / streaming_eval / fp16).
+
+        ``val.reference_ema_branch: true`` reproduces the reference's EMA
+        test() branch EXACTLY (reference denoising_model.py:170-178): when
+        an EMA net exists, ONE plain whole-batch forward on the UNPADDED
+        input — no reflect padding, no temp_psz chunking, no [0,1] clamp.
+        Default (false) keeps this framework's pinned behavior: the EMA
+        params run the same padded protocol as the raw net."""
         val_opt = self.opt.get('val') or {}
         params = self.ema_params if self.ema_params is not None else self.params
+
+        if (self.ema_params is not None
+                and val_opt.get('reference_ema_branch', False)):
+            lq = np.asarray(self.lq)
+            if lq.ndim == 4:
+                lq = lq[None]
+            x = jnp.asarray(lq)
+            if self.noise_map is not None:
+                nm = np.asarray(self.noise_map)
+                if nm.ndim == 4:
+                    nm = nm[None]
+                x = jnp.concatenate([x, jnp.asarray(nm)], axis=2)
+            if val_opt.get('fp16', False):
+                x = x.astype(jnp.bfloat16)
+            out = _jit_wnet_apply(self.ema_params, _nfchw_to_nthwc(x),
+                                  self.cfg)
+            self.output = np.asarray(
+                jnp.transpose(out, (0, 1, 4, 2, 3)), np.float32)
+            return
 
         # val items are (1,T,C,H,W); during-training validation reaches here
         # without feed_data's eval-mode squeeze — drop the batch dim either way
@@ -360,13 +422,62 @@ class DenoisingModel(BaseModel):
 
     # ------------------------------------------------------------------ #
     def validation(self, dataloader, current_iter, tb_logger, save_img=False):
+        from bsvd_tpu.parallel.mesh import is_main_process
+        if not is_main_process():
+            # multi-host: validation runs on the coordinator only (the
+            # reference's dist validation is likewise rank-0 only,
+            # reference denoising_model.py:211-213); within the process it
+            # still fans folders out over the local mesh devices
+            return None
         return self.nondist_validation(dataloader, current_iter, tb_logger,
                                        save_img)
+
+    def _val_data_parallel_devices(self):
+        """Devices to fan val folders out over: the mesh 'data' axis of a
+        single-process, spatial-free mesh; [] = run serial."""
+        if self.mesh is None or jax.process_count() > 1:
+            return []
+        shape = dict(self.mesh.shape)
+        if shape.get('spatial', 1) > 1 or shape.get('data', 1) <= 1:
+            return []
+        return list(self.mesh.devices.reshape(-1))
+
+    def _folder_metrics(self, result, gt, folder, dataset_name, save_img,
+                        with_metrics, metric_data, metric_data_float):
+        """Per-frame tensor2img + metric accumulation for one folder
+        (reference denoising_model.py:260-316)."""
+        if self.center_frame_only:
+            result = result[result.shape[0] // 2:result.shape[0] // 2 + 1]
+            gt = gt[gt.shape[0] // 2:gt.shape[0] // 2 + 1]
+
+        for idx in range(result.shape[0]):
+            result_img = tensor2img(result[idx])       # uint8 bgr
+            gt_img = tensor2img(gt[idx])
+            metric_data['img'] = result_img
+            metric_data['img2'] = gt_img
+            metric_data_float['img_float'] = result[idx]
+            metric_data_float['img2_float'] = gt[idx]
+
+            if save_img:
+                img_path = osp.join(self.opt['path']['visualization'],
+                                    dataset_name, folder,
+                                    f"{idx:08d}_{self.opt['name']}.png")
+                imwrite(result_img, img_path)
+
+            if with_metrics:
+                for m_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
+                    if 'float' in opt_['type']:
+                        val = calculate_metric(metric_data_float, opt_)
+                    else:
+                        val = calculate_metric(metric_data, opt_)
+                    self.metric_results[folder][idx, m_idx] += val
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img):
         dataset = dataloader.dataset
         dataset_name = dataset.opt['name']
-        with_metrics = self.opt['val'].get('metrics') is not None
+        val_opt = self.opt.get('val') or {}
+        with_metrics = val_opt.get('metrics') is not None
+        metric_data, metric_data_float = {}, {}
         if with_metrics:
             # center_frame_only scores ONE frame per clip — size the
             # accumulator to the frames actually written, or the mean over
@@ -376,51 +487,79 @@ class DenoisingModel(BaseModel):
                                   else dataset.num_frames[index],
                                   len(self.opt['val']['metrics'])), np.float32)
                 for index, folder in enumerate(dataset.base_folder)}
-            metric_data, metric_data_float = {}, {}
 
         num_folders = len(dataset)
-        total_avg_results = None
-        for i in range(num_folders):
-            val_data = dataset[i]
-            folder = val_data['folder']
-            self.feed_data(val_data)
-            self.test()
-            result = self.output[0]          # (T, C, H, W) float
-            gt = np.asarray(val_data['gt'])[0]
+        logger = get_root_logger()
 
-            if self.center_frame_only:
-                result = result[result.shape[0] // 2:result.shape[0] // 2 + 1]
-                gt = gt[gt.shape[0] // 2:gt.shape[0] // 2 + 1]
+        # Data-parallel validation: fan folders out over the mesh 'data'
+        # devices round-robin — denoise dispatches are async, so up to
+        # n_dev folders are in flight while the host computes metrics for
+        # the oldest (the reference shards folders across ranks in dist
+        # eval, video_base_model.py:18-108; here one controller drives all
+        # chips). Whole-clip protocols only: the chunked path syncs per
+        # chunk internally.
+        devices = (self._val_data_parallel_devices()
+                   if val_opt.get('temp_psz', -1) == -1 and num_folders > 1
+                   else [])
+        if devices:
+            from collections import deque
+            from bsvd_tpu.models.seq_inference import denoise_seq_async
+            params = (self.ema_params if self.ema_params is not None
+                      else self.params)
+            params_by_dev = [jax.device_put(params, d) for d in devices]
+            compute_dtype = (jnp.bfloat16 if val_opt.get('fp16', False)
+                             else None)
+            mode = ('streaming' if val_opt.get('streaming_eval', False)
+                    else 'mimo')
+            pending = deque()
 
-            for idx in range(result.shape[0]):
-                result_img = tensor2img(result[idx])       # uint8 bgr
-                gt_img = tensor2img(gt[idx])
-                metric_data['img'] = result_img
-                metric_data['img2'] = gt_img
-                metric_data_float['img_float'] = result[idx]
-                metric_data_float['img2_float'] = gt[idx]
+            def finish(entry):
+                i, folder, gt, out_dev, padding_list = entry
+                out = np.asarray(out_dev, np.float32)          # sync point
+                self.output = np.transpose(out, (0, 3, 1, 2))[None]
+                self.crop_output(padding_list)
+                self._folder_metrics(self.output[0], gt, folder,
+                                     dataset_name, save_img, with_metrics,
+                                     metric_data, metric_data_float)
+                logger.info(f'Tested {folder} ({i + 1}/{num_folders})')
 
-                if save_img:
-                    img_path = osp.join(self.opt['path']['visualization'],
-                                        dataset_name, folder,
-                                        f"{idx:08d}_{self.opt['name']}.png")
-                    imwrite(result_img, img_path)
-
-                if with_metrics:
-                    for m_idx, opt_ in enumerate(self.opt['val']['metrics'].values()):
-                        if 'float' in opt_['type']:
-                            val = calculate_metric(metric_data_float, opt_)
-                        else:
-                            val = calculate_metric(metric_data, opt_)
-                        self.metric_results[folder][idx, m_idx] += val
-            get_root_logger().info(f'Tested {folder} ({i + 1}/{num_folders})')
+            for i in range(num_folders):
+                val_data = dataset[i]
+                self.feed_data(val_data)
+                lq = self.lq[0] if np.ndim(self.lq) == 5 else self.lq
+                padded_lq, padding_list = self.padding_input(lq)
+                sigma = None
+                if self.noise_map is not None:
+                    sigma = float(np.asarray(self.noise_map).reshape(-1)[0])
+                d = i % len(devices)
+                out_dev = denoise_seq_async(
+                    params_by_dev[d], self.cfg, padded_lq, noise_sigma=sigma,
+                    mode=mode, compute_dtype=compute_dtype,
+                    device=devices[d])
+                pending.append((i, val_data['folder'],
+                                np.asarray(val_data['gt'])[0], out_dev,
+                                padding_list))
+                if len(pending) >= len(devices):
+                    finish(pending.popleft())
+            while pending:
+                finish(pending.popleft())
+        else:
+            for i in range(num_folders):
+                val_data = dataset[i]
+                folder = val_data['folder']
+                self.feed_data(val_data)
+                self.test()
+                self._folder_metrics(self.output[0],
+                                     np.asarray(val_data['gt'])[0], folder,
+                                     dataset_name, save_img, with_metrics,
+                                     metric_data, metric_data_float)
+                logger.info(f'Tested {folder} ({i + 1}/{num_folders})')
         # Aggregate/log ONCE after all folders (reference
         # denoising_model.py:318-367) — logging inside the loop would average
         # in all-zero rows for folders not yet evaluated and rewrite the
         # per-scene CSVs N times.
-        total_avg_results = self._log_validation_metric_values(
+        return self._log_validation_metric_values(
             current_iter, dataset_name, tb_logger)
-        return total_avg_results
 
     def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
         logger = get_root_logger()

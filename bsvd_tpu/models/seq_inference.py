@@ -21,6 +21,17 @@ def _whole_clip_mimo(params, x, cfg):
     return jnp.clip(wnet_apply(params, x, cfg), 0., 1.)
 
 
+@functools.lru_cache(maxsize=None)
+def _whole_clip_spatial_fn(cfg, mesh):
+    """Jitted spatially-sharded whole-clip forward (shard_map + halo
+    exchange, fused kernels kept per-shard — parallel/spatial.py)."""
+    from bsvd_tpu.parallel.spatial import wnet_apply_spatial
+
+    def f(params, x):
+        return jnp.clip(wnet_apply_spatial(params, x, cfg, mesh), 0., 1.)
+    return jax.jit(f)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _whole_clip_stream(params, x, cfg):
     return jnp.clip(streaming_apply(params, x, cfg), 0., 1.)
@@ -141,6 +152,34 @@ def _chunked_mimo_async(params, x, cfg, psz, future):
     return den
 
 
+def _cast_params(params, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+
+
+def denoise_seq_async(params, cfg, seq, noise_sigma=None, mode='mimo',
+                      compute_dtype=None, device=None):
+    """Whole-clip denoise dispatched WITHOUT a host sync.
+
+    Returns the (T, H, W, out_ch) DEVICE array clipped to [0, 1];
+    ``np.asarray()`` it to sync. Data-parallel validation uses this to keep
+    N chips busy on N different folders simultaneously (the reference's
+    folder-sharded dist eval, video_base_model.py:18-108, done async on one
+    controller). ``params`` must already live on ``device`` (callers cache
+    one replica per device)."""
+    seq = jnp.asarray(np.asarray(seq))
+    if compute_dtype is not None:
+        seq = seq.astype(compute_dtype)
+        params = _cast_params(params, compute_dtype)
+    x = jnp.transpose(seq, (0, 2, 3, 1))
+    x = _with_noise_map(x, noise_sigma, cfg)[None]
+    if device is not None:
+        x = jax.device_put(x, device)
+    fn = _whole_clip_stream if mode == 'streaming' else _whole_clip_mimo
+    return fn(params, x, cfg)[0]
+
+
 def _with_noise_map(seq_thwc, noise_sigma, cfg):
     """Append a constant noise-map channel unless the net is blind."""
     if cfg.blind or noise_sigma is None:
@@ -181,18 +220,36 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
     """
     seq = jnp.asarray(np.asarray(seq))
     if compute_dtype is not None:
+        # autocast semantics (reference val fp16 wraps validation in
+        # torch.cuda.amp.autocast, train_pipeline.py:196-198): inputs AND
+        # weights compute in the reduced dtype; fp32-master params are cast
+        # at entry rather than stored twice
         seq = seq.astype(compute_dtype)
+        params = _cast_params(params, compute_dtype)
     t, c, h, w = seq.shape
     x = jnp.transpose(seq, (0, 2, 3, 1))          # (T, H, W, C)
     x = _with_noise_map(x, noise_sigma, cfg)[None]  # (1, T, H, W, C')
 
-    if mesh is not None and mesh.shape.get('spatial', 1) > 1 and mode == 'mimo':
+    spatial_mesh = (mesh is not None
+                    and dict(mesh.shape).get('spatial', 1) > 1)
+    whole_clip = temp_psz == -1 or temp_psz >= t
+    if spatial_mesh and mode == 'mimo':
+        from bsvd_tpu.parallel.spatial import spatial_ok
+        if whole_clip and spatial_ok(cfg, x.shape[2], mesh):
+            # shard_map + halo exchange: keeps the fused Pallas kernels
+            # per-shard (parallel/spatial.py)
+            out = _whole_clip_spatial_fn(cfg, mesh)(params, x)[0]
+            return np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2))
+        # fallback (chunked protocols / unaligned H): GSPMD partitioning,
+        # which has no rules for Pallas custom calls -> XLA conv path
+        import dataclasses
         from bsvd_tpu.parallel.mesh import batch_sharding
+        cfg = dataclasses.replace(cfg, use_fused=False)
         # N=1 at inference: keep batch replicated, shard H over 'spatial'
         x = jax.device_put(x, batch_sharding(mesh, 5, batch_axis=None,
                                              spatial_axis=2))
 
-    if temp_psz == -1 or temp_psz >= t:
+    if whole_clip:
         fn = _whole_clip_stream if mode == 'streaming' else _whole_clip_mimo
         out = fn(params, x, cfg)[0]
         return np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2))

@@ -60,3 +60,27 @@ def run_sharded_train_step(mesh, seed=0, cfg=None):
     loss = float(loss_dict['l_pix'])
     assert np.isfinite(loss)
     return loss
+
+
+def run_sharded_eval(mesh, seed=0, cfg=None):
+    """Spatially-sharded whole-clip denoise_seq over ``mesh`` (the shard_map
+    + halo-exchange path that keeps the Pallas kernels per-shard,
+    parallel/spatial.py), checked against the single-device protocol.
+    Returns the max abs deviation (must be fp-noise)."""
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_init
+    from bsvd_tpu.models.seq_inference import denoise_seq
+
+    if cfg is None:
+        cfg = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
+                         norm='none', act='relu6', shift_mode='TSM')
+    params = wnet_init(jax.random.PRNGKey(seed), cfg)
+    n_sp = dict(mesh.shape).get('spatial', 1)
+    h = 4 * n_sp if (4 * n_sp) % 16 == 0 else 16 * n_sp
+    rng = np.random.default_rng(seed)
+    seq = rng.uniform(0, 1, (3, 3, h, 8)).astype(np.float32)
+    ref = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=-1)
+    got = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=-1,
+                      mesh=mesh)
+    dev = float(np.abs(got - ref).max())
+    assert dev < 1e-4, f'sharded eval deviates from single-device: {dev}'
+    return dev

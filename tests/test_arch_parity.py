@@ -316,3 +316,88 @@ def test_ema_eval_branch_deviation():
     mine = denoise_seq(params, cfg, lq[0], noise_sigma=sigma, temp_psz=-1)
     np.testing.assert_allclose(mine, np.clip(ref_out[0], 0., 1.),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_reference_ema_branch_exact():
+    """``val.reference_ema_branch: true`` reproduces the reference EMA
+    test() branch EXACTLY (raw whole-batch forward, no padding/chunking/
+    clamp — reference denoising_model.py:170-178): the pin is equality, not
+    a documented delta (round-4 directive closing PARITY.md 'Known gaps')."""
+    from bsvd_tpu.models import build_model
+    opt2d = dict(SMALL_NET2D_OPT)
+    cfg = _cfg_from_opt(opt2d)
+    state = _det_state(cfg, seed=14)           # same weights as the pin test
+    rng = np.random.default_rng(7)
+    t, h, w = 6, 16, 16
+    lq = rng.uniform(0, 1, (1, t, 3, h, w)).astype(np.float32)
+    sigma = 30 / 255.0
+
+    def generate():
+        ref = load_reference()
+        tsn = _load_ref_tsn(state, opt2d, 'TSM', num_segments=t)
+        tsn.eval()
+        ref.global_queue_buffer._init(0)
+        ref.global_queue_buffer.set_batch_index(0)
+        nm = np.full((1, t, 1, h, w), sigma, np.float32)
+        with torch.no_grad():
+            return {'ref_out': tsn(torch.from_numpy(
+                np.concatenate([lq, nm], axis=2))).numpy()}
+
+    ref_out = golden('ema_eval_branch', generate)['ref_out']
+
+    model_opt = {
+        'is_train': False, 'model_type': 'DenoisingModel', 'num_gpu': 1,
+        'network_g': {'type': 'BSVD', 'pretrain_ckpt': None,
+                      **{k: opt2d[k] for k in
+                         ('chns', 'mid_ch', 'interm_ch', 'norm', 'act')}},
+        'path': {'pretrain_network_g': None},
+        'val': {'reference_ema_branch': True, 'temp_psz': -1, 'fp16': False},
+    }
+    model = build_model(model_opt)
+    model.ema_params = _params_from_state(state, cfg)
+    model.feed_data({'lq': lq,
+                     'noise_map': np.full((1, t, 1, h, w), sigma,
+                                          np.float32)})
+    model.test()
+    # exact semantics: unpadded, unclamped
+    assert (model.output < 0).any() or (model.output > 1).any()
+    np.testing.assert_allclose(model.output, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_eval_psnr_within_bound_of_fp32():
+    """Pin bf16 eval accuracy (the flagship protocol sets ``val.fp16: True``
+    and the bench runs bf16; the reference publishes fp16-autocast numbers —
+    options/test/bsvd_c64.yml, reference profile.py): all three protocols
+    (whole-clip, chunked+carry, streaming) run in bfloat16 must score PSNR
+    within 0.05 dB of their fp32 runs on the synthetic-clip anchor.
+    Measured deltas on this anchor: < 0.001 dB (recorded in PARITY.md)."""
+    import jax.numpy as jnp
+    from bsvd_tpu.models.seq_inference import denoise_seq
+    opt = dict(SMALL_NET2D_OPT)
+    cfg = _cfg_from_opt(opt)
+    state = _det_state(cfg, seed=13)
+    rng = np.random.default_rng(6)
+    t, h, w = 8, 32, 32
+    clean = rng.uniform(0, 1, (1, t, 3, h, w)).astype(np.float32)
+    sigma = 25 / 255.0
+    noisy = (clean + sigma * rng.standard_normal(clean.shape)
+             ).astype(np.float32)
+    params = _params_from_state(state, cfg)
+
+    def psnr(out):
+        return 10 * np.log10(1.0 / float(np.mean((out[None] - clean) ** 2)))
+
+    protocols = {
+        'whole_clip': dict(temp_psz=-1),
+        'chunked_carry': dict(temp_psz=3, future_buffer_len=2),
+        'streaming': dict(temp_psz=-1, mode='streaming'),
+    }
+    deltas = {}
+    for name, kw in protocols.items():
+        p32 = psnr(denoise_seq(params, cfg, noisy[0], noise_sigma=sigma,
+                               **kw))
+        p16 = psnr(denoise_seq(params, cfg, noisy[0], noise_sigma=sigma,
+                               compute_dtype=jnp.bfloat16, **kw))
+        deltas[name] = p32 - p16
+        assert abs(p32 - p16) < 0.05, (name, p32, p16)
+    print('bf16 PSNR deltas (dB):', {k: round(v, 4) for k, v in deltas.items()})

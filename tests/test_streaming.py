@@ -246,3 +246,60 @@ def test_use_fused_false_dispatches_no_pallas(monkeypatch):
     # does trace pallas calls (otherwise this test can't catch regressions)
     assert n_pallas_eqns(WNetConfig(use_fused=True, **kw), 144, 256) > 0
     assert n_pallas_eqns(WNetConfig(use_fused=False, **kw), 144, 256) == 0
+
+
+def test_stream_denoiser_mesh_multi_stream():
+    """N-stream serving: StreamDenoiser with a mesh shards the stream batch
+    over the 'data' axis (shard_map per-shard steps); per-stream outputs ==
+    the single-device batched run, through fill, steady state, push_block
+    and drain."""
+    from bsvd_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, n, h, w = 22, 8, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, t, h, w, 4),
+                          jnp.float32)
+
+    sd_ref = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    mesh = make_mesh(8, spatial=1)
+    sd_mesh = StreamDenoiser(params, cfg, batch=n, height=h, width=w,
+                             mesh=mesh)
+    assert sd_mesh.mesh is not None
+
+    outs_ref, outs_mesh = [], []
+    for i in range(t - 4):
+        a, b = sd_ref.push(x[:, i]), sd_mesh.push(x[:, i])
+        if a is not None:
+            outs_ref.append(np.asarray(a))
+        if b is not None:
+            outs_mesh.append(np.asarray(b))
+    # push_block on the mesh path too (scan over 4 frames, batch on axis 1)
+    blk_frames = jnp.moveaxis(x[:, t - 4:], 1, 0)
+    for o in sd_ref.push_block(blk_frames):
+        if o is not None:
+            outs_ref.append(np.asarray(o))
+    for o in sd_mesh.push_block(blk_frames):
+        if o is not None:
+            outs_mesh.append(np.asarray(o))
+    outs_ref.extend(np.asarray(o) for o in sd_ref.flush())
+    outs_mesh.extend(np.asarray(o) for o in sd_mesh.flush())
+
+    assert len(outs_ref) == len(outs_mesh) == t
+    np.testing.assert_allclose(np.stack(outs_mesh, 1), np.stack(outs_ref, 1),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_stream_denoiser_mesh_gate():
+    """Meshes the stream batch cannot ride (spatial axis, non-dividing
+    batch) fall back to single-device stepping."""
+    from bsvd_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    sd = StreamDenoiser(params, cfg, batch=3, height=16, width=16,
+                        mesh=make_mesh(8, spatial=1))
+    assert sd.mesh is None              # 3 streams don't divide 8
+    sd = StreamDenoiser(params, cfg, batch=8, height=16, width=16,
+                        mesh=make_mesh(8, spatial=2))
+    assert sd.mesh is None              # spatial meshes: not this path
