@@ -292,9 +292,10 @@ def _xla_site_folded(conv_p, x_f, act, act_name='act', kernel_act=None,
         from bsvd_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_supported
         if (x_f.shape[-1] >= 128
                 and conv3x3_supported(x_f.shape, w2.shape, x_f.dtype,
-                                      n_in=1 if x2_f is None else 2)):
+                                      n_in=1 if x2_f is None else 2,
+                                      folded=True)):
             return conv3x3_pallas(x_f, w2, b2, x2_f, shift='none',
-                                  act=kernel_act)
+                                  act=kernel_act, folded=True)
     xin = x_f if x2_f is None else x_f + x2_f
     y = conv2d({'w': w2, 'b': b2}, xin)
     return y if act_name == 'none' else act(y)
@@ -326,9 +327,10 @@ def _pair_folded_stream(p1, p2, x_f, act, act_name2, kernel_act, x2_f=None):
         w2, b2 = fold_width_weights(p2['w'], p2['b'])
         n_in = 1 if x2_f is None else 2
         if conv_chain_supported(x_f.shape, w1.shape, w2.shape, x_f.dtype,
-                                n_in):
+                                n_in, folded=True):
             return conv_chain_pallas(x_f, w1, b1, w2, b2, x2_f,
-                                     act1=kernel_act, act2=act_name2)
+                                     act1=kernel_act, act2=act_name2,
+                                     folded=True)
     y = _xla_site_folded(p1, x_f, act, kernel_act=kernel_act, x2_f=x2_f)
     return _xla_site_folded(p2, y, act, act_name=act_name2,
                             kernel_act=act_name2 if kernel_act else None)
@@ -483,9 +485,10 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
             w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
             w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
             if conv_chain_supported(sk2f.shape, w1.shape, w2.shape,
-                                    sk2f.dtype, n_in=2, has_res=True):
+                                    sk2f.dtype, n_in=2, has_res=True,
+                                    folded=True):
                 yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
-                                         cfg.act, 'none', rc)
+                                         cfg.act, 'none', rc, True)
                 return new_st, yf, v1u
         yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
                                  x2_f=sk2f)

@@ -366,13 +366,14 @@ def _site_folded(conv_p, x_f, cfg, act, act_name, x2_f=None):
         from bsvd_tpu.ops.conv3x3 import (conv3x3, conv3x3_add2,
                                           conv3x3_supported)
         if conv3x3_supported((n * t, h, wf, c2), w2.shape, x_f.dtype,
-                             n_in=1 if x2_f is None else 2):
+                             n_in=1 if x2_f is None else 2, folded=True):
             if x2_f is None:
-                y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name)
+                y = conv3x3(x_f.reshape(n * t, h, wf, c2), w2, b2, act_name,
+                            True)
             else:
                 y = conv3x3_add2(x_f.reshape(n * t, h, wf, c2),
                                  x2_f.reshape(n * t, h, wf, c2), w2, b2,
-                                 act_name)
+                                 act_name, True)
             return y.reshape(n, t, h, wf, y.shape[-1])
     xin = x_f if x2_f is None else x_f + x2_f
     y = conv2d({'w': w2, 'b': b2}, xin)
@@ -393,13 +394,13 @@ def _pair_folded(p1, p2, x_f, cfg, act, act2, x2_f=None):
         w2, b2 = fold_width_weights(p2['w'], p2['b'])
         n_in = 1 if x2_f is None else 2
         if conv_chain_supported((n * t, h, wf, c2), w1.shape, w2.shape,
-                                x_f.dtype, n_in):
+                                x_f.dtype, n_in, folded=True):
             xm = x_f.reshape(n * t, h, wf, c2)
             if x2_f is None:
-                y = conv_chain(xm, w1, b1, w2, b2, cfg.act, act2)
+                y = conv_chain(xm, w1, b1, w2, b2, cfg.act, act2, True)
             else:
                 y = conv_chain_add2(xm, x2_f.reshape(n * t, h, wf, c2),
-                                    w1, b1, w2, b2, cfg.act, act2)
+                                    w1, b1, w2, b2, cfg.act, act2, True)
             return y.reshape(n, t, h, wf, y.shape[-1])
     y = _site_folded(p1, x_f, cfg, act, cfg.act, x2_f=x2_f)
     return _site_folded(p2, y, cfg, act, act2)
@@ -535,12 +536,13 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
         w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
         w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
         if conv_chain_supported((n * t, h, wf, x0.shape[-1]), w1.shape,
-                                w2.shape, x0.dtype, n_in=2, has_res=True):
+                                w2.shape, x0.dtype, n_in=2, has_res=True,
+                                folded=True):
             y = conv_chain_add2_res(
                 x0.reshape(n * t, h, wf, x0.shape[-1]),
                 x1uf.reshape(n * t, h, wf, x1uf.shape[-1]),
                 xpad.reshape(n * t, h, wf, 2 * s_out),
-                w1, b1, w2, b2, cfg.act, 'none', rc)
+                w1, b1, w2, b2, cfg.act, 'none', rc, True)
             y = y.reshape(n, t, h, wf, 2 * s_out)
             return y if fold_io else _unfold2(y)
 

@@ -86,3 +86,53 @@ def dots9(tile, w_ref, b_ref, bh, w, col0, act):
     elif act == 'relu6':
         a = jnp.clip(a, 0, 6)
     return a
+
+
+def dedup_folded_weights(w2):
+    """Split a width-folded 3x3 weight (ops/conv3x3.fold_width_weights
+    output, (3, 3, 2C, 2Cout)) into the dedup form consumed by
+    ``dots_folded``: (w_dense (3, 2C, 2Cout), w_comb (3, 2C, 2Cout)).
+
+    The folded taps kx=0 and kx=2 are 75% structural zeros (kx=0 maps only
+    odd-half inputs to even-half outputs, kx=2 only even->odd), so the two
+    sparse MXU contractions per row collapse into ONE dense dot against a
+    lane-spliced input (see dots_folded): w_comb carries kx=0's block at
+    input rows [0, C) and kx=2's at [C, 2C) — a roll of their (disjoint)
+    sum. Runs on weights at trace time (tiny; jit-cached)."""
+    c = w2.shape[2] // 2
+    w_dense = w2[:, 1]
+    w_comb = jnp.roll(w2[:, 0] + w2[:, 2], c, axis=1)
+    return w_dense, w_comb
+
+
+def dots_folded(tile, wd_ref, wc_ref, b_ref, bh, w, col0, act):
+    """Width-folded 3x3 conv of one (bh+2, >=w+2, 2C) tile as SIX MXU
+    contractions instead of dots9's nine — the fold's 2x MAC duplication
+    drops to 1.33x. Per row ky: one dense dot (tap kx=1) plus one dot of
+    the lane-spliced input V = [odd(col-1) | even(col+1)] against the
+    block-diagonal ``wc_ref`` (see dedup_folded_weights). The splice is a
+    half-lane rotation (lowered by Mosaic as a lane concat) and one
+    iota-masked select, both VPU ops costing ~15% of the saved MXU work.
+    Same fp32 accumulation / bias / act semantics as dots9."""
+    c2 = tile.shape[-1]
+    half = c2 // 2
+    tt = tile[:, col0 - 1:col0 + w + 1, :]            # (bh+2, w+2, 2C)
+    rot = jnp.concatenate([tt[..., half:], tt[..., :half]], axis=-1)
+    lane = lax.broadcasted_iota(jnp.int32, (tt.shape[0], w, c2), 2)
+    v = jnp.where(lane < half, rot[:, 0:w], rot[:, 2:w + 2])
+    a = jnp.zeros((bh, w, wd_ref.shape[-1]), jnp.float32)
+    for ky in range(3):
+        a = a + lax.dot_general(
+            tt[ky:ky + bh, 1:w + 1], wd_ref[ky],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a = a + lax.dot_general(
+            v[ky:ky + bh], wc_ref[ky],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    a = a + b_ref[...].astype(jnp.float32)
+    if act == 'relu':
+        a = jnp.maximum(a, 0)
+    elif act == 'relu6':
+        a = jnp.clip(a, 0, 6)
+    return a

@@ -27,7 +27,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bsvd_tpu.ops._tile import COL0 as _COL0, dots9, halo_row_dmas, zero_halo
+from bsvd_tpu.ops._tile import (COL0 as _COL0, dedup_folded_weights,
+                                dots9, dots_folded, halo_row_dmas, zero_halo)
 
 
 def _ring_size(shift):
@@ -35,7 +36,7 @@ def _ring_size(shift):
 
 
 def _pick_bh(h, w, c, cout, shift, itemsize=2,
-             vmem_budget=15 * 1024 * 1024, n_in=1):
+             vmem_budget=15 * 1024 * 1024, n_in=1, folded=False):
     """Largest divisor of H whose working set fits in VMEM.
 
     Calibrated against Mosaic's observed allocations (see the fp32 OOM in
@@ -43,19 +44,23 @@ def _pick_bh(h, w, c, cout, shift, itemsize=2,
     temporaries, DOUBLE the weight block (input-spec buffering) and double
     the fp32 accumulator (the unrolled 9-dot chain keeps extra copies
     live). ``itemsize`` is the input/output dtype width — fp32 tiles are
-    twice bf16's."""
+    twice bf16's. ``folded`` = the dedup 6-dot path: 6 weight taps instead
+    of 9 but two extra tile temporaries (the rotation and the splice)."""
     nring = _ring_size(shift)
     tmp_tiles = 2.5 if shift != 'none' else 1.0
+    if folded:
+        tmp_tiles += 2.0
     # VMEM buffers are lane-padded to multiples of 128 (observed: a Cout=6
     # output block allocates 128 lanes)
     c_pad = -(-c // 128) * 128
     cout_pad = -(-cout // 128) * 128
+    n_taps = 6 if folded else 9
     for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
                      reverse=True):
         tile = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
         acc = bh * w * cout_pad * 4
         out = 2 * bh * w * cout_pad * itemsize
-        wts = 9 * c_pad * cout_pad * itemsize + cout_pad * 4
+        wts = n_taps * c_pad * cout_pad * itemsize + cout_pad * 4
         total = int((nring * n_in + tmp_tiles) * tile) + 2 * acc + out + 2 * wts
         if total <= vmem_budget and bh * w >= 512:
             return bh
@@ -99,7 +104,7 @@ def _epilogue(o_ref, a, ps_half=None):
 
 
 def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
-            ps_half=None):
+            ps_half=None, folded=False):
     xs = refs[:n_in]
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
     hb = pl.program_id(0)
@@ -178,10 +183,17 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
             head = jnp.concatenate([f1, f2], axis=-1)
         tile = jnp.concatenate([head, cur[:, :, 2 * fold:]], axis=-1)
 
-    _epilogue(o_ref, dots9(tile, w_ref, b_ref, bh, w, _COL0, act), ps_half)
+    if folded:
+        # width-folded dedup: w_ref is the stacked (2, 3, 2C, 2Cout)
+        # [dense, combined] pair (see _tile.dots_folded)
+        a = dots_folded(tile, w_ref[0], w_ref[1], b_ref, bh, w, _COL0, act)
+    else:
+        a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
+    _epilogue(o_ref, a, ps_half)
 
 
-def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
+def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None,
+                folded=False):
     """Single-frame (NT=1) variant: the ROW-BLOCK axis carries the software
     pipeline. grid=(nhb,); a 2-slot VMEM ring double-buffers row-block tiles
     so block hb+1's DMA overlaps block hb's 9 MXU dots (the frame-minor
@@ -223,7 +235,11 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None):
     tile = ring[slot, 0]
     for i in range(1, n_in):
         tile = tile + ring[slot, i]
-    _epilogue(o_ref, dots9(tile, w_ref, b_ref, bh, w, _COL0, act), ps_half)
+    if folded:
+        a = dots_folded(tile, w_ref[0], w_ref[1], b_ref, bh, w, _COL0, act)
+    else:
+        a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
+    _epilogue(o_ref, a, ps_half)
 
 
 def fold_width_weights(w, b):
@@ -272,9 +288,9 @@ def _fold_width(x, w, b):
 
 @functools.partial(jax.jit,
                    static_argnames=('t_len', 'shift', 'fold_div', 'act',
-                                    'bh', 'interpret'))
+                                    'bh', 'folded', 'interpret'))
 def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
-                   act='relu6', bh=None, interpret=False):
+                   act='relu6', bh=None, folded=False, interpret=False):
     """Fused (temporal-shift +) 3x3 conv (stride 1, pad 1) + bias + act.
 
     Args:
@@ -286,18 +302,23 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
             kernel computes conv(x + x2) with the add fused into tile
             assembly — skip-adds cost no extra HBM round trip.
         shift: 'none' | 'tsm' | 'causal'.
+        folded: ``w`` is a width-folded weight (fold_width_weights layout)
+            and ``x`` the folded view — run the 6-dot dedup contraction
+            (see _tile.dots_folded) instead of 9 dots, cutting the fold's
+            2x MAC duplication to 1.33x. Plain conv only.
     Returns:
         (N*T, H, W, Cout) in x.dtype.
     """
     check_act(act)
     nt, h, w_, c = x.shape
     cout = w.shape[-1]
-    if c == 64 and shift == 'none' and w_ % 2 == 0:
+    if c == 64 and shift == 'none' and w_ % 2 == 0 and not folded:
         xf, w2, b2 = _fold_width(x, w, b)
         x2f = None if x2 is None else x2.reshape(nt, h, w_ // 2, 2 * c)
         y = conv3x3_pallas(xf, w2, b2, x2f, t_len=t_len, shift='none',
-                           act=act, bh=bh, interpret=interpret)
+                           act=act, bh=bh, folded=True, interpret=interpret)
         return y.reshape(nt, h, w_, cout)
+    assert not (folded and shift != 'none'), 'dedup is plain-conv only'
     fold = c // fold_div
     if shift != 'none':
         assert t_len is not None and nt % t_len == 0, (nt, t_len)
@@ -305,13 +326,19 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     n_in = len(xs)
     if bh is None:
         bh = _pick_bh(h, w_, c, cout, shift, jnp.dtype(x.dtype).itemsize,
-                      n_in=n_in)
+                      n_in=n_in, folded=folded)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
     nring = _ring_size(shift)
 
-    flops = 2 * 9 * c * cout * h * w_ * nt
+    if folded:
+        w_op = jnp.stack(dedup_folded_weights(w))     # (2, 3, C, Cout)
+        n_taps = 6
+    else:
+        w_op, n_taps = w, 9
+
+    flops = 2 * n_taps * c * cout * h * w_ * nt
     oblock, oshape = (1, bh, w_, cout), (nt, h, w_, cout)
     common = dict(
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in + [
@@ -328,7 +355,8 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     if nt == 1 and shift == 'none':
         # single frame: pipeline over row blocks instead (see _kernel_nt1)
         kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c,
-                                 cout=cout, act=act, n_in=n_in)
+                                 cout=cout, act=act, n_in=n_in,
+                                 folded=folded)
         return pl.pallas_call(
             kern,
             grid=(nhb,),
@@ -342,11 +370,11 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=('arbitrary',)),
             **common,
-        )(*xs, w, b.reshape(1, cout))
+        )(*xs, w_op, b.reshape(1, cout))
 
     kern = functools.partial(
         _kernel, nt=nt, t_len=t_len if t_len else nt, bh=bh, h=h, w=w_, c=c,
-        cout=cout, fold=fold, act=act, shift=shift, n_in=n_in)
+        cout=cout, fold=fold, act=act, shift=shift, n_in=n_in, folded=folded)
 
     return pl.pallas_call(
         kern,
@@ -361,7 +389,7 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         **common,
-    )(*xs, w, b.reshape(1, cout))
+    )(*xs, w_op, b.reshape(1, cout))
 
 
 def _conv3x3_xla(x, w, b, act):
@@ -377,19 +405,20 @@ def _conv3x3_xla(x, w, b, act):
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv3x3(x, w, b, act='relu6'):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3(x, w, b, act='relu6', folded=False):
     """Differentiable fused 3x3 conv + bias + act: Pallas forward on TPU,
-    XLA composite backward (same math)."""
-    return conv3x3_pallas(x, w, b, shift='none', act=act)
+    XLA composite backward (same math). ``folded``: w/x are width-folded —
+    engage the 6-dot dedup contraction."""
+    return conv3x3_pallas(x, w, b, shift='none', act=act, folded=folded)
 
 
-def _c3_fwd(x, w, b, act):
-    y = conv3x3_pallas(x, w, b, shift='none', act=act)
+def _c3_fwd(x, w, b, act, folded):
+    y = conv3x3_pallas(x, w, b, shift='none', act=act, folded=folded)
     return y, (x, w, b, y)
 
 
-def _c3_bwd(act, res, g):
+def _c3_bwd(act, folded, res, g):
     """Direct backward from saved (x, w, b, y): the activation mask comes
     from the saved output, so the forward conv is never recomputed."""
     from bsvd_tpu.ops.shift_conv import act_mask
@@ -416,20 +445,20 @@ def _c3_bwd(act, res, g):
 conv3x3.defvjp(_c3_fwd, _c3_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def conv3x3_add2(x, x2, w, b, act='relu6'):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3x3_add2(x, x2, w, b, act='relu6', folded=False):
     """conv3x3(x + x2) with the skip-add fused into the kernel's tile
     assembly (outc's x0 + x1u site). Same backward as conv3x3 with the
     input gradient fanned out to both addends."""
-    return conv3x3_pallas(x, w, b, x2, shift='none', act=act)
+    return conv3x3_pallas(x, w, b, x2, shift='none', act=act, folded=folded)
 
 
-def _c3a_fwd(x, x2, w, b, act):
-    y = conv3x3_pallas(x, w, b, x2, shift='none', act=act)
+def _c3a_fwd(x, x2, w, b, act, folded):
+    y = conv3x3_pallas(x, w, b, x2, shift='none', act=act, folded=folded)
     return y, (x, x2, w, b, y)
 
 
-def _c3a_bwd(act, res, g):
+def _c3a_bwd(act, folded, res, g):
     from bsvd_tpu.ops.shift_conv import act_mask
     x, x2, w, b, y = res
     mask = act_mask(y, act)
@@ -593,14 +622,16 @@ def conv_ps_fold_supported(x_shape, w_shape, dtype):
                     jnp.dtype(dtype).itemsize) is not None
 
 
-def conv3x3_supported(x_shape, w_shape, dtype, shift='none', n_in=1):
+def conv3x3_supported(x_shape, w_shape, dtype, shift='none', n_in=1,
+                      folded=False):
     """Whether the fused kernel applies on this backend/shape.
 
     Mosaic DMAs need 128-lane granularity: C must be a multiple of 128, or
     exactly 64 for the plain conv (width-folded to 128). ``n_in`` must match
     the number of inputs the call site passes (a second fused-add input
     enlarges the VMEM working set, so a block that fits at n_in=1 may not
-    fit at n_in=2)."""
+    fit at n_in=2). ``folded``: the call site passes width-folded weights
+    (the 6-dot dedup path; slightly different VMEM footprint)."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
         return False
@@ -613,11 +644,11 @@ def conv3x3_supported(x_shape, w_shape, dtype, shift='none', n_in=1):
     if w_shape[0] != 3 or w_shape[1] != 3:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if c == 64 and shift == 'none' and w_ % 2 == 0:
+    if c == 64 and shift == 'none' and w_ % 2 == 0 and not folded:
         c, w_ = 128, w_ // 2
         return _pick_bh(h, w_, c, 2 * w_shape[-1], shift,
-                        itemsize, n_in=n_in) is not None
+                        itemsize, n_in=n_in, folded=True) is not None
     if c % 128 != 0:
         return False
     return _pick_bh(h, w_, c, w_shape[-1], shift, itemsize,
-                    n_in=n_in) is not None
+                    n_in=n_in, folded=folded) is not None

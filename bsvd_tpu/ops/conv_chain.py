@@ -24,23 +24,26 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bsvd_tpu.ops._tile import COL0 as _COL0, dots9, halo_row_dmas, zero_halo
+from bsvd_tpu.ops._tile import (COL0 as _COL0, dedup_folded_weights,
+                                dots9, dots_folded, halo_row_dmas, zero_halo)
 
 
 def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
-                   vmem_budget=15 * 1024 * 1024):
+                   folded=False, vmem_budget=15 * 1024 * 1024):
     c_pad = -(-c // 128) * 128
     c1_pad = -(-c1 // 128) * 128
     cout_pad = -(-cout // 128) * 128
+    n_taps = 6 if folded else 9
+    tmp = 4.0 if folded else 2.0       # dedup: rotation+splice per conv
     for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
                      reverse=True):
         tile = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
         interm = 3 * bh * (w + 2) * c1_pad * itemsize
         acc = bh * w * (c1_pad + cout_pad) * 4
         out = 2 * bh * w * cout_pad * itemsize
-        wts = 9 * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
+        wts = n_taps * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
         res = 2 * bh * w * cout_pad * itemsize if has_res else 0
-        total = (int(2 * n_in * tile + 2.0 * tile) + interm + 2 * acc + out
+        total = (int(2 * n_in * tile + tmp * tile) + interm + 2 * acc + out
                  + wts + res)
         if total <= vmem_budget and bh * w >= 512:
             return bh
@@ -48,7 +51,7 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
 
 
 def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
-                  res_ch=None):
+                  res_ch=None, folded=False):
     xs = refs[:n_in]
     if res_ch is None:
         x_res = res_ring = res_sems = None
@@ -109,7 +112,13 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
         tile = ring[slot, 0]
         for i in range(1, n_in):
             tile = tile + ring[slot, i]
-        a1 = dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act1)
+        if folded:
+            # width-folded dedup: w refs are stacked (2, 3, 2C, 2Cout)
+            # [dense, combined] pairs (see _tile.dots_folded)
+            a1 = dots_folded(tile, w1_ref[0], w1_ref[1], b1_ref, bh, w,
+                             _COL0, act1)
+        else:
+            a1 = dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act1)
         islot = hb % 3
         interm[islot, :, 1:w + 1, :] = a1.astype(interm.dtype)
         interm[islot, :, 0:1, :] = jnp.zeros((bh, 1, c1), interm.dtype)
@@ -126,7 +135,11 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
         bot = interm[hb % 3, 0:1]
         bot = jnp.where(hb < nhb, bot, jnp.zeros_like(bot))
         itile = jnp.concatenate([top, mid, bot], axis=0)   # (bh+2, w+2, c1)
-        a2 = dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
+        if folded:
+            a2 = dots_folded(itile, w2_ref[0], w2_ref[1], b2_ref, bh, w, 1,
+                             act2)
+        else:
+            a2 = dots9(itile, w2_ref, b2_ref, bh, w, 1, act2)
         if res_ch is not None:
             # per-stage residual fused into the epilogue: the first res_ch
             # lanes of each folded half become x_res - y (reference
@@ -141,10 +154,11 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('act1', 'act2', 'res_ch', 'bh',
+                   static_argnames=('act1', 'act2', 'res_ch', 'bh', 'folded',
                                     'interpret'))
 def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
-                      act2='none', res_ch=None, bh=None, interpret=False):
+                      act2='none', res_ch=None, bh=None, folded=False,
+                      interpret=False):
     """Chained 3x3 convs: act2(conv2(act1(conv1(x (+x2))))), one kernel.
 
     Args:
@@ -153,6 +167,9 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
         x_res: optional (NT, H, W, Cout) residual source; with ``res_ch``
             set, output lanes l with l % (Cout/2) < res_ch become
             x_res - y (the folded per-stage residual combine, fused).
+        folded: BOTH weights are width-folded (fold_width_weights layout)
+            on folded views — both convs run the 6-dot dedup contraction
+            (_tile.dots_folded) instead of 9 dots each.
     Returns:
         (NT, H, W, Cout) in x.dtype.
     """
@@ -169,14 +186,18 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
         assert x_res is not None and x_res.shape == (nt, h, w_, cout)
     if bh is None:
         bh = _pick_bh_chain(h, w_, c, c1, cout, jnp.dtype(x.dtype).itemsize,
-                            n_in, has_res)
+                            n_in, has_res, folded)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
 
+    if folded:
+        w1 = jnp.stack(dedup_folded_weights(w1))
+        w2 = jnp.stack(dedup_folded_weights(w2))
+
     kern = functools.partial(_kernel_chain, nt=nt, bh=bh, h=h, w=w_, c=c,
                              c1=c1, cout=cout, act1=act1, act2=act2,
-                             n_in=n_in, res_ch=res_ch)
+                             n_in=n_in, res_ch=res_ch, folded=folded)
     scratch = [
         pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
         pltpu.SemaphoreType.DMA((2, n_in, 3)),
@@ -201,7 +222,7 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
         out_shape=jax.ShapeDtypeStruct((nt, h, w_, cout), x.dtype),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * (c * c1 + c1 * cout) * h * w_ * nt,
+            flops=2 * (6 if folded else 9) * (c * c1 + c1 * cout) * h * w_ * nt,
             bytes_accessed=x.size * 2 * 2 * n_in,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
@@ -225,19 +246,21 @@ def _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=None):
     return site(site(v, w1, b1, act1).astype(x.dtype), w2, b2, act2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def conv_chain(x, w1, b1, w2, b2, act1='relu6', act2='none'):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv_chain(x, w1, b1, w2, b2, act1='relu6', act2='none', folded=False):
     """Differentiable chained convs: Pallas forward, XLA composite
     backward (recomputes the cheap intermediate)."""
-    return conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2)
+    return conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2,
+                             folded=folded)
 
 
-def _cc_fwd(x, w1, b1, w2, b2, act1, act2):
-    y = conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2)
+def _cc_fwd(x, w1, b1, w2, b2, act1, act2, folded):
+    y = conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2,
+                          folded=folded)
     return y, (x, w1, b1, w2, b2)
 
 
-def _cc_bwd(act1, act2, res, g):
+def _cc_bwd(act1, act2, folded, res, g):
     x, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
@@ -249,18 +272,21 @@ def _cc_bwd(act1, act2, res, g):
 conv_chain.defvjp(_cc_fwd, _cc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def conv_chain_add2(x, x2, w1, b1, w2, b2, act1='relu6', act2='none'):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def conv_chain_add2(x, x2, w1, b1, w2, b2, act1='relu6', act2='none',
+                    folded=False):
     """Chained convs of (x + x2) — outc's skip-add + c1 + c2 in one kernel."""
-    return conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2)
+    return conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2,
+                             folded=folded)
 
 
-def _cca_fwd(x, x2, w1, b1, w2, b2, act1, act2):
-    y = conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2)
+def _cca_fwd(x, x2, w1, b1, w2, b2, act1, act2, folded):
+    y = conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2,
+                          folded=folded)
     return y, (x, x2, w1, b1, w2, b2)
 
 
-def _cca_bwd(act1, act2, res, g):
+def _cca_bwd(act1, act2, folded, res, g):
     x, x2, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
@@ -281,24 +307,24 @@ def _chain_res_xla(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch):
     return jnp.where(lane < res_ch, x_res - y, y)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def conv_chain_add2_res(x, x2, x_res, w1, b1, w2, b2, act1='relu6',
-                        act2='none', res_ch=3):
+                        act2='none', res_ch=3, folded=False):
     """outc's full folded epilogue in ONE kernel: skip-add + c1 + c2 +
     the per-stage residual combine (lanes l%half < res_ch become
     x_res - y). Replaces an XLA pad/select/layout-copy complex worth
     ~8 ms on the 540p flagship trace."""
     return conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
-                             act2=act2, res_ch=res_ch)
+                             act2=act2, res_ch=res_ch, folded=folded)
 
 
-def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch):
+def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch, folded):
     y = conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
-                          act2=act2, res_ch=res_ch)
+                          act2=act2, res_ch=res_ch, folded=folded)
     return y, (x, x2, x_res, w1, b1, w2, b2)
 
 
-def _ccr_bwd(act1, act2, res_ch, res, g):
+def _ccr_bwd(act1, act2, res_ch, folded, res, g):
     x, x2, x_res, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda x_, x2_, xr_, w1_, b1_, w2_, b2_: _chain_res_xla(
@@ -311,7 +337,7 @@ conv_chain_add2_res.defvjp(_ccr_fwd, _ccr_bwd)
 
 
 def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1,
-                         has_res=False):
+                         has_res=False, folded=False):
     """Whether the chained kernel applies on this backend/shape."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
@@ -331,4 +357,4 @@ def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1,
         return False
     return _pick_bh_chain(h, w_, c, c1, w2_shape[-1],
                           jnp.dtype(dtype).itemsize, n_in,
-                          has_res) is not None
+                          has_res, folded) is not None

@@ -139,7 +139,7 @@ def test_plain_direct_backward_matches_composite_vjp():
     g = jnp.asarray(np.random.default_rng(14).standard_normal(y.shape),
                     jnp.float32)
     ref = vjp(g)
-    got = _c3_bwd('relu6', (x, w, b, y), g)
+    got = _c3_bwd('relu6', False, (x, w, b, y), g)
     for a, r, name in zip(got, ref, ('dx', 'dw', 'db')):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
                                    atol=1e-5, err_msg=name)
@@ -517,3 +517,96 @@ def test_kernel_entries_reject_unknown_act():
         conv_chain_pallas(x, w, b, w, b, act1='gelu', interpret=True)
     with pytest.raises(ValueError, match='acts'):
         bibuffer_conv_pallas(x, x, w, b, act='gelu', interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# width-fold MAC dedup (_tile.dots_folded): 6-dot folded contraction
+# ---------------------------------------------------------------------------
+
+def test_dedup_folded_weights_structure():
+    """dedup_folded_weights recovers exactly the original taps from the
+    fold_width_weights layout: the dense part is the kx=1 tap and the
+    combined part is block-diagonal [w(:,0) | w(:,2)]."""
+    from bsvd_tpu.ops._tile import dedup_folded_weights
+    from bsvd_tpu.ops.conv3x3 import fold_width_weights
+    rng = np.random.default_rng(5)
+    C, CO = 8, 4
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)), jnp.float32)
+    b = jnp.zeros((CO,), jnp.float32)
+    w2, _ = fold_width_weights(w, b)
+    wd, wc = dedup_folded_weights(w2)
+    assert wd.shape == (3, 2 * C, 2 * CO) and wc.shape == (3, 2 * C, 2 * CO)
+    wcn = np.asarray(wc)
+    np.testing.assert_array_equal(wcn[:, :C, :CO], np.asarray(w[:, 0]))
+    np.testing.assert_array_equal(wcn[:, C:, CO:], np.asarray(w[:, 2]))
+    assert not wcn[:, :C, CO:].any() and not wcn[:, C:, :CO].any()
+    np.testing.assert_array_equal(np.asarray(wd), np.asarray(w2[:, 1]))
+
+
+@pytest.mark.parametrize('case', ['nt3', 'nt1', 'add2'])
+def test_folded_dedup_conv_interpret_matches_xla(case):
+    """The 6-dot dedup contraction (folded=True, _tile.dots_folded) ==
+    plain XLA conv on the unfolded view, both kernel variants."""
+    from bsvd_tpu.ops.conv3x3 import (_conv3x3_xla, conv3x3_pallas,
+                                      fold_width_weights)
+    rng = np.random.default_rng(21)
+    nt = 1 if case == 'nt1' else 3
+    NT, H, W, C, CO = nt, 8, 24, 16, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    x2 = (jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+          if case == 'add2' else None)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _conv3x3_xla(x if x2 is None else x + x2, w, b, 'relu6')
+    w2, b2 = fold_width_weights(w, b)
+    xf = x.reshape(NT, H, W // 2, 2 * C)
+    x2f = None if x2 is None else x2.reshape(NT, H, W // 2, 2 * C)
+    for bh in (2, 4, 8):
+        got = conv3x3_pallas(xf, w2, b2, x2f, shift='none', act='relu6',
+                             bh=bh, folded=True, interpret=True)
+        got = np.asarray(got).reshape(NT, H, W, CO)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4,
+                                   atol=1e-4, err_msg=f'bh={bh}')
+
+
+@pytest.mark.parametrize('case', ['plain', 'add2_res'])
+def test_folded_dedup_chain_interpret_matches_xla(case):
+    """Chained kernel with folded=True (both convs dedup) == XLA composite
+    on the unfolded views, incl. the outc residual-combine variant."""
+    from bsvd_tpu.ops.conv3x3 import fold_width_weights
+    from bsvd_tpu.ops.conv_chain import (_chain_xla, conv_chain_pallas)
+    rng = np.random.default_rng(33)
+    NT, H, W, C, C1, CO = 2, 8, 16, 8, 16, 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C1)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C1, CO)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    w1f, b1f = fold_width_weights(w1, b1)
+    w2f, b2f = fold_width_weights(w2, b2)
+    xf = x.reshape(NT, H, W // 2, 2 * C)
+    if case == 'plain':
+        ref = _chain_xla(x, w1, b1, w2, b2, 'relu6', 'none')
+        got = conv_chain_pallas(xf, w1f, b1f, w2f, b2f, act1='relu6',
+                                act2='none', bh=4, folded=True,
+                                interpret=True)
+    else:
+        x2 = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+        xr = jnp.asarray(rng.standard_normal((NT, H, W, CO)), jnp.float32)
+        rc = 3
+        y = _chain_xla(x, w1, b1, w2, b2, 'relu6', 'none', x2=x2)
+        lane = np.arange(CO) % CO  # unfolded: all lanes, mask on folded view
+        ref = y
+        got = conv_chain_pallas(
+            xf, w1f, b1f, w2f, b2f, x2.reshape(NT, H, W // 2, 2 * C),
+            xr.reshape(NT, H, W // 2, 2 * CO), act1='relu6', act2='none',
+            res_ch=rc, bh=4, folded=True, interpret=True)
+        lanef = np.arange(2 * CO) % CO
+        reff = np.asarray(y).reshape(NT, H, W // 2, 2 * CO)
+        xrf = np.asarray(xr).reshape(NT, H, W // 2, 2 * CO)
+        ref = np.where(lanef < rc, xrf - reff, reff)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+        return
+    got = np.asarray(got).reshape(NT, H, W, CO)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
