@@ -338,11 +338,17 @@ def _pair_folded_stream(p1, p2, x_f, act, act_name2, kernel_act, x2_f=None):
 
 def _up_conv_ps_stream(conv_p, x, act, use_k=True):
     """Per-frame up conv (Pallas when supported AND fused kernels enabled —
-    ``use_k=False`` honors cfg.use_fused's opt-out) + XLA pixel shuffle.
+    ``use_k=False`` honors cfg.use_fused's opt-out) + pixel shuffle: one
+    fused natural-layout kernel when each shuffle plane is 128-lane
+    (ops/conv3x3.conv_ps_natural, up2's site), XLA shuffle otherwise.
     The up conv carries no norm/activation (reference UpBlock: conv +
     shuffle only, wnet_models.py UpBlock)."""
     if not use_k:
         return pixel_shuffle(conv2d(conv_p, x), 2)
+    from bsvd_tpu.ops.conv3x3 import (conv_ps_natural,
+                                      conv_ps_natural_supported)
+    if conv_ps_natural_supported(x.shape, conv_p['w'].shape, x.dtype):
+        return conv_ps_natural(x, conv_p['w'], conv_p['b'])
     return pixel_shuffle(_conv_act_fused(conv_p, 'none', None, act, x,
                                          'none'), 2)
 

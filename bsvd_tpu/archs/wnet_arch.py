@@ -200,10 +200,20 @@ def _plain_conv_act(conv_p, norm_p, x, cfg, act, act_name=None):
 
 
 def _up_conv_ps(conv_p, x, cfg, act):
-    """Up-path conv + r=2 pixel shuffle (Pallas conv + XLA transpose; an
-    in-kernel shuffled write in NATURAL layout has no Mosaic lowering, see
-    ops/conv3x3._epilogue — but the width-FOLDED shuffled write does:
-    _up_conv_psfold)."""
+    """Up-path conv + r=2 pixel shuffle. One fused Pallas kernel emitting
+    the shuffled NATURAL layout when each shuffle plane is 128-lane
+    (ops/conv3x3.conv_ps_natural — up2's Cout=4x128 site); otherwise
+    Pallas conv + XLA transpose. (up1's 4x64 output instead uses the
+    width-FOLDED shuffled write, _up_conv_psfold.)"""
+    n, t, h, w, c = x.shape
+    if cfg.use_fused and cfg.norm == 'none':
+        from bsvd_tpu.ops.conv3x3 import (conv_ps_natural,
+                                          conv_ps_natural_supported)
+        if conv_ps_natural_supported((n * t, h, w, c), conv_p['w'].shape,
+                                     x.dtype):
+            y = conv_ps_natural(x.reshape(n * t, h, w, c), conv_p['w'],
+                                conv_p['b'])
+            return y.reshape(n, t, 2 * h, 2 * w, y.shape[-1])
     from bsvd_tpu.nn.layers import pixel_shuffle
     return pixel_shuffle(_plain_conv_act(conv_p, None, x, cfg, act,
                                          act_name='none'), 2)

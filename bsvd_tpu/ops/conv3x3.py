@@ -81,7 +81,7 @@ def check_act(act):
             'route this site through the XLA path instead')
 
 
-def _epilogue(o_ref, a, ps_half=None):
+def _epilogue(o_ref, a, ps_half=None, ps_nat=None):
     """Write the (bh, w, cout) fp32 accumulator (bias/act already applied).
 
     ``ps_half``: pixel-shuffle-folded write — the conv's output channels
@@ -91,12 +91,29 @@ def _epilogue(o_ref, a, ps_half=None):
     (1, bh, 2, w, 2c) over an (nt, h, 2, w, 2c) array whose reshape to
     (nt, 2h, w, 2c) is free (leading-dim merge above the sublane dim).
 
-    NOTE a direct in-kernel r=2 shuffle write (natural layout) was built in
-    round 3 and REMOVED: its (w, 2c) -> (2w, c) lane->sublane move has no
-    Mosaic lowering. The folded-output form sidesteps that entirely —
-    di rides the outer (row) axis and dj rides the lane axis, so only
-    tile-aligned slices remain."""
-    if ps_half is None:
+    ``ps_nat``: pixel-shuffle write in NATURAL layout (up2's site, whose
+    consumers are natural C>=128 shift convs): same weight permutation,
+    but dj additionally splits off the lane axis into the o_ref block's
+    (w, 2, c) sublane structure — four lane-slice writes, each 128-aligned
+    when c (= ps_nat) is a multiple of 128. The (nt, h, 2, w, 2, c) array
+    reshapes to the shuffled (nt, 2h, 2w, c) for free (row-major merges
+    above the lane dim). Requires c % 128 == 0 — up1's c=64 case stays on
+    the ps-fold form (its sub-128 slices would need the lane->sublane move
+    Mosaic cannot lower; see the round-3 notes below).
+
+    NOTE a direct in-kernel r=2 shuffle write via value-level reshapes was
+    built in round 3 and REMOVED: its (w, 2c) -> (2w, c) lane->sublane
+    move has no Mosaic lowering. The block-structured forms sidestep that
+    entirely — di/dj ride ref dimensions, so only tile-aligned slices
+    remain."""
+    if ps_nat is not None:
+        c = ps_nat
+        for di in range(2):
+            for dj in range(2):
+                k = (di * 2 + dj) * c
+                o_ref[0, :, di, :, dj, :] = a[:, :, k:k + c].astype(
+                    o_ref.dtype)
+    elif ps_half is None:
         o_ref[...] = a.astype(o_ref.dtype)[None]
     else:
         o_ref[0, :, 0] = a[:, :, :ps_half].astype(o_ref.dtype)
@@ -104,7 +121,7 @@ def _epilogue(o_ref, a, ps_half=None):
 
 
 def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
-            ps_half=None, folded=False):
+            ps_half=None, ps_nat=None, folded=False):
     xs = refs[:n_in]
     w_ref, b_ref, o_ref, ring, sems = refs[n_in:]
     hb = pl.program_id(0)
@@ -189,11 +206,11 @@ def _kernel(*refs, nt, t_len, bh, h, w, c, cout, fold, act, shift, n_in=1,
         a = dots_folded(tile, w_ref[0], w_ref[1], b_ref, bh, w, _COL0, act)
     else:
         a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
-    _epilogue(o_ref, a, ps_half)
+    _epilogue(o_ref, a, ps_half, ps_nat)
 
 
 def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None,
-                folded=False):
+                ps_nat=None, folded=False):
     """Single-frame (NT=1) variant: the ROW-BLOCK axis carries the software
     pipeline. grid=(nhb,); a 2-slot VMEM ring double-buffers row-block tiles
     so block hb+1's DMA overlaps block hb's 9 MXU dots (the frame-minor
@@ -239,7 +256,7 @@ def _kernel_nt1(*refs, bh, h, w, c, cout, act, n_in=1, ps_half=None,
         a = dots_folded(tile, w_ref[0], w_ref[1], b_ref, bh, w, _COL0, act)
     else:
         a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
-    _epilogue(o_ref, a, ps_half)
+    _epilogue(o_ref, a, ps_half, ps_nat)
 
 
 def fold_width_weights(w, b):
@@ -600,6 +617,136 @@ def _cpf_bwd(res, g):
 
 
 conv_ps_fold.defvjp(_cpf_fwd, _cpf_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('bh', 'interpret'))
+def conv_ps_natural_pallas(x, w, b, *, bh=None, interpret=False):
+    """Fused 3x3 conv + bias + r=2 pixel shuffle in NATURAL output layout,
+    one kernel — up2's site, whose consumer (up1's shift convs) reads the
+    natural C>=128 layout. Equivalent to ``pixel_shuffle(conv(x) + b, 2)``,
+    whose XLA lowering costs a full-tensor 7-D shuffle transpose (~1.3 ms
+    per stage on the 540p flagship trace, the last XLA shuffle left).
+
+    The shuffled write is block-structured (see _epilogue ps_nat): output
+    channels pre-permuted to (di, dj, k) lane order, di riding the row
+    axis and dj a sublane-level ref dimension, so all four plane writes
+    are 128-aligned lane slices.
+
+    Args:
+        x: (NT, H, W, C), C multiple of 128.
+        w: (3, 3, C, 4c) in torch PixelShuffle channel order, c % 128 == 0;
+        b: (4c,).
+    Returns:
+        (NT, 2H, 2W, c) in x.dtype.
+    """
+    nt, h, w_, c_in = x.shape
+    cout = w.shape[-1]
+    c = cout // 4
+    wp, bp = psfold_weights(w, b)
+    if bh is None:
+        bh = _pick_bh(h, w_, c_in, cout, 'none', jnp.dtype(x.dtype).itemsize)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+
+    common = dict(
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((nt, h, 2, w_, 2, c), x.dtype),
+        cost_estimate=pl.CostEstimate(flops=2 * 9 * c_in * cout * h * w_ * nt,
+                                      bytes_accessed=x.size * 2 * 2,
+                                      transcendentals=0),
+        interpret=interpret,
+    )
+    oblock = (1, bh, 2, w_, 2, c)
+    if nt == 1:
+        kern = functools.partial(_kernel_nt1, bh=bh, h=h, w=w_, c=c_in,
+                                 cout=cout, act='none', ps_nat=c)
+        y = pl.pallas_call(
+            kern,
+            grid=(nhb,),
+            out_specs=pl.BlockSpec(oblock, lambda hb: (0, hb, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c_in), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 1, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            **common,
+        )(x, wp, bp.reshape(1, cout))
+    else:
+        kern = functools.partial(_kernel, nt=nt, t_len=nt, bh=bh, h=h, w=w_,
+                                 c=c_in, cout=cout, fold=c_in // 8,
+                                 act='none', shift='none', ps_nat=c)
+        y = pl.pallas_call(
+            kern,
+            grid=(nhb, nt),
+            out_specs=pl.BlockSpec(oblock,
+                                   lambda hb, t: (t, hb, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c_in), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 1, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary', 'arbitrary')),
+            **common,
+        )(x, wp, bp.reshape(1, cout))
+    return y.reshape(nt, 2 * h, 2 * w_, c)
+
+
+def _conv_ps_natural_xla(x, w, b):
+    """XLA composite oracle/backward: conv + bias + r=2 pixel shuffle."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b.astype(x.dtype)
+    nt, h, w_, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(nt, h, w_, c, 2, 2)               # (k, di, dj)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))        # (nt, h, di, w, dj, k)
+    return y.reshape(nt, 2 * h, 2 * w_, c)
+
+
+@jax.custom_vjp
+def conv_ps_natural(x, w, b):
+    """Differentiable fused up-conv + natural-layout pixel shuffle (Pallas
+    forward on TPU, XLA composite backward)."""
+    return conv_ps_natural_pallas(x, w, b)
+
+
+def _cpn_fwd(x, w, b):
+    return conv_ps_natural_pallas(x, w, b), (x, w, b)
+
+
+def _cpn_bwd(res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(_conv_ps_natural_xla, x, w, b)
+    return vjp(g)
+
+
+conv_ps_natural.defvjp(_cpn_fwd, _cpn_bwd)
+
+
+def conv_ps_natural_supported(x_shape, w_shape, dtype):
+    """Whether the natural-layout fused shuffle kernel applies."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    cout = w_shape[-1]
+    if w_shape[:2] != (3, 3) or c % 128 != 0:
+        return False
+    if cout % 512 != 0:             # each (di, dj) plane must be 128-lane
+        return False
+    return _pick_bh(h, w_, c, cout, 'none',
+                    jnp.dtype(dtype).itemsize) is not None
 
 
 def conv_ps_fold_supported(x_shape, w_shape, dtype):

@@ -610,3 +610,22 @@ def test_folded_dedup_chain_interpret_matches_xla(case):
         return
     got = np.asarray(got).reshape(NT, H, W, CO)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('nt', [1, 2])
+def test_conv_ps_natural_interpret_matches_xla(nt):
+    """Fused conv + r=2 pixel shuffle in NATURAL layout (up2's site):
+    block-structured (h, 2, w, 2, c) writes == XLA conv + shuffle."""
+    from bsvd_tpu.ops.conv3x3 import (_conv_ps_natural_xla,
+                                      conv_ps_natural_pallas)
+    rng = np.random.default_rng(9)
+    NT, H, W, C, CO = nt, 8, 16, 16, 32       # c = CO//4 = 8
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _conv_ps_natural_xla(x, w, b)
+    for bh in (2, 4, 8):
+        got = conv_ps_natural_pallas(x, w, b, bh=bh, interpret=True)
+        assert got.shape == (NT, 2 * H, 2 * W, CO // 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
