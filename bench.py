@@ -27,10 +27,12 @@ def _bench_mimo(jax, jnp, params, cfg, wnet_apply):
     # Chainable forward (output re-shaped to input) so repeated calls form a
     # device-side dependency chain: on backends where block_until_ready is
     # unreliable (remote-tunnel TPU), K chained calls + one scalar readback
-    # still measure true execution time. The chain concat + readback add
-    # <1 ms per iteration (trivial-model floor ~0.9 ms/call, PERF.md
-    # "Measurement methodology"), so the reported numbers are slightly
-    # conservative (~4% at current speed).
+    # still measure true execution time. The readback costs a FIXED ~30 ms
+    # tunnel round trip + dispatch-pipeline refill per timed block
+    # (measured: stream k=5 17.5 -> k=64 11.0 ms/frame on identical device
+    # work), so K must be large enough to amortize it below the noise —
+    # K=16 here bounds the inflation at ~2% (PERF.md "Measurement
+    # methodology").
     def chain_fwd(p, x):
         y = wnet_apply(p, x, cfg)
         return jnp.concatenate([y, x[..., 3:]], axis=-1)
@@ -40,8 +42,8 @@ def _bench_mimo(jax, jnp, params, cfg, wnet_apply):
     float(ssum(fwd(params, x)))               # compile + warm + sync
 
     times = []
-    for _ in range(4):                        # best-of-N protocol
-        k = 5
+    for _ in range(3):                        # best-of-N protocol
+        k = 16
         y = x
         t0 = time.perf_counter()
         for _ in range(k):
@@ -72,7 +74,7 @@ def _bench_streaming(jax, jnp, params, cfg):
 
     best = float('inf')
     for _ in range(3):
-        k = 10
+        k = 64       # amortize the fixed ~30 ms per-sync tunnel ramp
         t0 = time.perf_counter()
         for _ in range(k):
             out = sd.push(frame)
