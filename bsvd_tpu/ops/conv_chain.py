@@ -29,7 +29,13 @@ from bsvd_tpu.ops._tile import (COL0 as _COL0, dedup_folded_weights,
 
 
 def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
-                   folded=False, vmem_budget=15 * 1024 * 1024):
+                   folded=False, vmem_budget=int(24.9 * 1024 * 1024)):
+    # vmem_budget is calibrated in *estimate* space against the real chip
+    # (tools/sweep_chain_bh.py, v5e): the flagship folded 540x480xC128
+    # shapes compile at an estimated 24.72 MiB (n_in=1, bh=10) and fail
+    # Mosaic allocation at 25.13 MiB (n_in=2, bh=9), so 24.9 MiB admits
+    # every measured-good block height (bh=10/6/6, ~1.2 ms/run faster
+    # than the old 15 MiB picks of 5/4/4) while rejecting the overflows.
     c_pad = -(-c // 128) * 128
     c1_pad = -(-c1 // 128) * 128
     cout_pad = -(-cout // 128) * 128
