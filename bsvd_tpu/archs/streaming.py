@@ -243,6 +243,25 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
 def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
                 assume_filled=False, act_name=None):
     """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149)."""
+    # steady-state client path: BOTH convs + both state updates chain as
+    # ONE kernel (ops/bibuffer_conv.bibuffer_chain_pallas) — the
+    # intermediate frame never round-trips HBM and the block costs one
+    # dispatch instead of two. Causal fuses on any valid frame (no fill
+    # masking: the causal output tracks the live frame).
+    if (_is_true(valid) and (assume_filled or causal) and norm == 'none'
+            and act_name is not None and 'b' in p['c1'] and 'b' in p['c2']):
+        from bsvd_tpu.ops.bibuffer_conv import (bibuffer_chain_pallas,
+                                                bibuffer_chain_supported)
+        if bibuffer_chain_supported(x.shape, p['c1']['w'].shape,
+                                    p['c2']['w'].shape, x.dtype):
+            y, s1n, s2n = bibuffer_chain_pallas(
+                x, st_pair[0]['packed'], st_pair[1]['packed'],
+                p['c1']['w'], p['c1']['b'], p['c2']['w'], p['c2']['b'],
+                fold_div=fold_div, act=act_name, act2=act_name,
+                causal=causal)
+            return ([{'packed': s1n, 'has_center': st_pair[0]['has_center']},
+                     {'packed': s2n, 'has_center': st_pair[1]['has_center']}],
+                    y, True)
     s1, o1, v1 = _bibuffer_step(p['c1'], norm, p['n1'], act, st_pair[0], x,
                                 valid, fold_div, causal, assume_filled,
                                 act_name)

@@ -193,3 +193,253 @@ def bibuffer_conv_supported(x_shape, w_shape, dtype):
         return False
     return _pick_bh(h, w_, c, w_shape[-1],
                     jnp.dtype(dtype).itemsize) is not None
+
+
+# ---------------------------------------------------------------------------
+# chained MemCvBlock step: BOTH buffered convs of a block in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _pick_bh_bichain(h, w, c, c1, cout, itemsize=2,
+                     vmem_budget=int(19.5 * 1024 * 1024)):
+    # budget calibrated on-chip at the flagship 270p/128ch streaming site:
+    # bh=5 (est 18.3 MiB) compiles and is the measured optimum (0.842 ms vs
+    # 0.986 ms two-step); bh=6 (est 21.4 MiB) is past the Mosaic ceiling.
+    c_pad = -(-c // 128) * 128
+    c1_pad = -(-c1 // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
+                     reverse=True):
+        tile1 = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
+        tile2 = (bh + 2) * (w + 2 * _COL0) * c1_pad * itemsize
+        interm = 3 * bh * (w + 2 * _COL0) * c1_pad * itemsize
+        acc = bh * w * (c1_pad + cout_pad) * 4
+        out = 2 * bh * w * (cout_pad + c_pad + c1_pad) * itemsize
+        wts = 9 * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
+        # ~2.5 tile equivalents of lane-concat assembly temporaries
+        # (same allowance as conv3x3's shift path)
+        total = int(2 * 2 * tile1 + 2 * tile2 + 2.5 * tile2) \
+            + interm + 2 * acc + out + wts
+        if total <= vmem_budget and bh * w >= 512:
+            return bh
+    return None
+
+
+def _kernel_bibuf_chain(x_hbm, s1_hbm, s2_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
+                        y_ref, s1n_ref, s2n_ref, ring, sems, ring2, sems2,
+                        interm, *, bh, h, w, c, c1, cout, fold1, fold2,
+                        act, act2, causal):
+    """Rolling-intermediate chain of two streaming BiBufferConv steps —
+    conv_chain._kernel_chain's structure (grid (nhb+1,), 3-slot VMEM
+    intermediate ring, one drain step) with bibuffer lane assembly on both
+    convs and the three state outputs:
+
+        y1, s1' = bibuf(x, s1, w1);  y2, s2' = bibuf(y1, s2, w2)
+
+    y1 never touches HBM as a conv input; its lanes that form s2' are
+    emitted straight from the intermediate ring."""
+    hb = pl.program_id(0)
+    nhb = pl.num_programs(0) - 1
+
+    def tile_dmas(blk, slot):
+        row0 = blk * bh
+        out = []
+        for i, src_hbm in enumerate((x_hbm, s1_hbm)):
+            out += halo_row_dmas(src_hbm.at[0], ring.at[slot, i], sems,
+                                 (slot, i), row0, bh, h, w)
+        return out
+
+    def s2_dmas(blk, slot):
+        return halo_row_dmas(s2_hbm.at[0], ring2.at[slot, 0], sems2,
+                             (slot, 0), blk * bh, bh, h, w)
+
+    # ---- conv1 (+ s1' emit) for row block hb ----
+    @pl.when(hb < nhb)
+    def _():
+        @pl.when(hb == 0)
+        def _():
+            for d in tile_dmas(0, 0):
+                d.start()
+
+        @pl.when(hb + 1 < nhb)
+        def _():
+            for d in tile_dmas(hb + 1, (hb + 1) % 2):
+                d.start()
+
+        # s2's tile for block hb is consumed by conv2 one step later —
+        # starting it here gives a full step of DMA/compute overlap
+        for d in s2_dmas(hb, hb % 2):
+            d.start()
+
+        slot = hb % 2
+        for d in tile_dmas(hb, slot):
+            d.wait()
+        for i in range(2):
+            zero_halo(ring, slot, i, hb, nhb, bh, w, c)
+
+        xt = ring[slot, 0]
+        st = ring[slot, 1]
+        if causal:
+            tile = jnp.concatenate([st[:, :, :2 * fold1],
+                                    xt[:, :, 2 * fold1:]], axis=-1)
+        else:
+            tile = jnp.concatenate([xt[:, :, :fold1], st[:, :, :fold1],
+                                    st[:, :, 2 * fold1:]], axis=-1)
+        a1 = dots9(tile, w1_ref, b1_ref, bh, w, _COL0, act)
+        islot = hb % 3
+        interm[islot, :, _COL0:_COL0 + w, :] = a1.astype(interm.dtype)
+        # zero only the 1-column halo dots9 actually reads (col0-1 / col0+w)
+        interm[islot, :, _COL0 - 1:_COL0, :] = jnp.zeros((bh, 1, c1),
+                                                         interm.dtype)
+        interm[islot, :, _COL0 + w:_COL0 + w + 1, :] = jnp.zeros(
+            (bh, 1, c1), interm.dtype)
+        if causal:
+            s1n_ref[...] = xt[1:bh + 1, _COL0:_COL0 + w, :][None]
+        else:
+            s1n_ref[...] = jnp.concatenate(
+                [st[1:bh + 1, _COL0:_COL0 + w, fold1:2 * fold1],
+                 xt[1:bh + 1, _COL0:_COL0 + w, fold1:]], axis=-1)[None]
+
+    # ---- conv2 (+ s2' emit) for row block hb - 1 ----
+    @pl.when(hb > 0)
+    def _():
+        ob = hb - 1
+        slot2 = ob % 2
+        for d in s2_dmas(ob, slot2):
+            d.wait()
+        zero_halo(ring2, slot2, 0, ob, nhb, bh, w, c1)
+
+        top = interm[(hb + 1) % 3, bh - 1:bh]          # == (hb-2) % 3
+        top = jnp.where(ob > 0, top, jnp.zeros_like(top))
+        mid = interm[(hb + 2) % 3]                     # == (hb-1) % 3
+        bot = interm[hb % 3, 0:1]
+        bot = jnp.where(hb < nhb, bot, jnp.zeros_like(bot))
+        # full-width (w + 2*COL0) tiles keep every concat operand at
+        # sublane offset 0 — Mosaic rejects lane concats whose operands
+        # disagree on the non-concat (column) offset
+        itile = jnp.concatenate([top, mid, bot], axis=0)  # (bh+2, wp, c1)
+        s2t = ring2[slot2, 0]
+        if causal:
+            tile = jnp.concatenate([s2t[:, :, :2 * fold2],
+                                    itile[:, :, 2 * fold2:]], axis=-1)
+        else:
+            tile = jnp.concatenate([itile[:, :, :fold2], s2t[:, :, :fold2],
+                                    s2t[:, :, 2 * fold2:]], axis=-1)
+        a2 = dots9(tile, w2_ref, b2_ref, bh, w, _COL0, act2)
+        y_ref[...] = a2.astype(y_ref.dtype)[None]
+        y1_main = mid[:, _COL0:_COL0 + w, :]
+        if causal:
+            s2n_ref[...] = y1_main[None]
+        else:
+            s2n_ref[...] = jnp.concatenate(
+                [s2t[1:bh + 1, _COL0:_COL0 + w, fold2:2 * fold2],
+                 y1_main[:, :, fold2:]], axis=-1)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('fold_div', 'act', 'act2', 'bh', 'causal',
+                                    'interpret'))
+def bibuffer_chain_pallas(x, s1, s2, w1, b1, w2, b2, *, fold_div=8,
+                          act='relu6', act2='relu6', bh=None, causal=False,
+                          interpret=False):
+    """One fused streaming MemCvBlock step (steady state, NT=1): BOTH
+    buffered shift-convs chained in one kernel, the intermediate frame
+    rolling through VMEM (reference MemCvBlock, bsvd_arch.py:116-149;
+    sequential-step semantics == two bibuffer_conv_pallas calls).
+
+    Args:
+        x: (1, H, W, C) live frame.
+        s1: (1, H, W, C) conv1's packed buffer; s2: (1, H, W, C1) conv2's.
+        w1: (3, 3, C, C1); w2: (3, 3, C1, Cout).
+    Returns:
+        (y (1, H, W, Cout), s1' (1, H, W, C), s2' (1, H, W, C1)).
+    """
+    from bsvd_tpu.ops.conv3x3 import check_act
+    check_act(act)
+    check_act(act2)
+    nt, h, w_, c = x.shape
+    assert nt == 1
+    c1 = w1.shape[-1]
+    cout = w2.shape[-1]
+    assert s2.shape == (1, h, w_, c1), (s2.shape, c1)
+    fold1 = c // fold_div
+    fold2 = c1 // fold_div
+    if bh is None:
+        bh = _pick_bh_bichain(h, w_, c, c1, cout,
+                              jnp.dtype(x.dtype).itemsize)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+
+    kern = functools.partial(_kernel_bibuf_chain, bh=bh, h=h, w=w_, c=c,
+                             c1=c1, cout=cout, fold1=fold1, fold2=fold2,
+                             act=act, act2=act2, causal=causal)
+    last = nhb - 1
+    return pl.pallas_call(
+        kern,
+        grid=(nhb + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec((1, bh, w_, cout),
+                         lambda hb: (0, jnp.maximum(hb - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, w_, c),
+                         lambda hb: (0, jnp.minimum(hb, last), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, w_, c1),
+                         lambda hb: (0, jnp.maximum(hb - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, h, w_, cout), x.dtype),
+            jax.ShapeDtypeStruct((1, h, w_, c), x.dtype),
+            jax.ShapeDtypeStruct((1, h, w_, c1), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c1), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 1, 3)),
+            pltpu.VMEM((3, bh, w_ + 2 * _COL0, c1), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * (c * c1 + c1 * cout) * h * w_,
+            bytes_accessed=x.size * 2 * 3,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x, s1, s2, w1, b1.reshape(1, c1), w2, b2.reshape(1, cout))
+
+
+def bibuffer_chain_reference(x, s1, s2, w1, b1, w2, b2, fold_div=8,
+                             act='relu6', act2='relu6', causal=False):
+    """XLA composite with identical semantics (oracle + CPU fallback)."""
+    y1, s1n = bibuffer_conv_reference(x, s1, w1, b1, fold_div, act, causal)
+    y2, s2n = bibuffer_conv_reference(y1, s2, w2, b2, fold_div, act2, causal)
+    return y2, s1n, s2n
+
+
+def bibuffer_chain_supported(x_shape, w1_shape, w2_shape, dtype):
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    c1 = w1_shape[-1]
+    if nt != 1 or w1_shape[:2] != (3, 3) or w2_shape[:2] != (3, 3):
+        return False
+    if c % 128 != 0 or c1 % 128 != 0:
+        return False
+    # measured on-chip: the chain wins at 128-lane sites (270p down0,
+    # 1.17x over two sequential bibuffer kernels) but loses at 256-lane
+    # sites (135p down1, 0.96x — the 3-slot c1 intermediate ring caps bh
+    # at 3). Keep wide sites on the two-step path.
+    if c > 128 or c1 > 128:
+        return False
+    return _pick_bh_bichain(h, w_, c, c1, w2_shape[-1],
+                            jnp.dtype(dtype).itemsize) is not None

@@ -338,6 +338,39 @@ def test_bibuffer_conv_interpret(act):
         np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
 
 
+@pytest.mark.parametrize('causal', [False, True])
+def test_bibuffer_chain_interpret(causal):
+    """Chained MemCvBlock step (ops/bibuffer_conv.bibuffer_chain_pallas):
+    both buffered shift-convs in one kernel, vs two sequential reference
+    steps — y, s1', s2' all exact."""
+    from bsvd_tpu.ops.bibuffer_conv import (bibuffer_chain_pallas,
+                                            bibuffer_chain_reference)
+    rng = np.random.default_rng(53)
+    H, W, C, C1, CO = 12, 16, 16, 24, 16
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    s1 = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    s2 = jnp.asarray(rng.standard_normal((1, H, W, C1)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C1)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C1, CO)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ry, rs1, rs2 = bibuffer_chain_reference(x, s1, s2, w1, b1, w2, b2,
+                                            act='relu6', act2='relu6',
+                                            causal=causal)
+    for bh in (3, 4, 12):
+        gy, gs1, gs2 = bibuffer_chain_pallas(x, s1, s2, w1, b1, w2, b2,
+                                             act='relu6', act2='relu6',
+                                             bh=bh, causal=causal,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+        np.testing.assert_array_equal(np.asarray(gs1), np.asarray(rs1))
+        # s2' carries computed y1 lanes (kernel fp32 accumulation vs the
+        # oracle's XLA conv): close, not bit-equal
+        np.testing.assert_allclose(np.asarray(gs2), np.asarray(rs2),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
 def test_bibuffer_conv_causal_interpret():
     from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
                                             bibuffer_conv_reference)
