@@ -248,8 +248,9 @@ def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
     # intermediate frame never round-trips HBM and the block costs one
     # dispatch instead of two. Causal fuses on any valid frame (no fill
     # masking: the causal output tracks the live frame).
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
     if (_is_true(valid) and (assume_filled or causal) and norm == 'none'
-            and act_name is not None and 'b' in p['c1'] and 'b' in p['c2']):
+            and act_name in KERNEL_ACTS and 'b' in p['c1'] and 'b' in p['c2']):
         from bsvd_tpu.ops.bibuffer_conv import (bibuffer_chain_pallas,
                                                 bibuffer_chain_supported)
         if bibuffer_chain_supported(x.shape, p['c1']['w'].shape,
