@@ -241,7 +241,8 @@ def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None,
                    mask=None, level=1):
     """(shift? conv norm act) x2 — reference CvBlock with TemporalShift-wrapped
     convs (tsm_arch.py:49-57). ``shift_pair``: optional (fn1, fn2) closures
-    overriding the default whole-segment shift (used for chunked carry).
+    or ``_ChunkShiftSite`` pairs overriding the default whole-segment shift
+    (used for chunked carry).
     ``x_add``: optional second addend consumed by the FIRST conv with the
     skip-add fused into the kernel (up1's x1 + x2 entry).
     ``mask``: optional (x, level) -> x row-validity hook applied after EACH
@@ -252,6 +253,11 @@ def _cvblock_apply(p, x, cfg, act, temporal, shift_pair=None, x_add=None,
         x = m(_shift_conv_act_site(p['c1'], p['n1'], x, cfg, act, x_add))
         x = m(_shift_conv_act_site(p['c2'], p['n2'], x, cfg, act))
         return x
+    if temporal and isinstance(shift_pair[0], _ChunkShiftSite):
+        x = m(_chunk_shift_conv_site(p['c1'], p['n1'], x, cfg, act,
+                                     shift_pair[0], x_add))
+        return m(_chunk_shift_conv_site(p['c2'], p['n2'], x, cfg, act,
+                                        shift_pair[1]))
     if x_add is not None:
         x = x + x_add
     if temporal:
@@ -279,6 +285,93 @@ def _shift_conv_act_site(conv_p, norm_p, x, cfg, act, x_add=None):
     if x_add is not None:
         x = x + x_add
     xs = _shift(x, cfg, None)
+    return act(norm_apply(cfg.norm, norm_p, conv2d(conv_p, xs)))
+
+
+class _ChunkShiftSite:
+    """One carry-threaded temporal-shift site of the chunked MIMO path
+    (the reference's global-queue slot, slot-keyed into wnet_apply_chunk's
+    ``new_carries``; validation_seq_infer.py:54-89 + temporal_shift.py:53-80).
+
+    Two consumption modes, one carry protocol:
+
+    - called as a function (the XLA path and shift_input stems): applies
+      ``temporal_shift_chunk`` to the whole chunk and slot-writes the
+      outgoing carry — the original closure contract.
+    - fused path (``_chunk_shift_conv_site``): the zero-boundary segment
+      kernel already computes frames 1..T-1 of the chunk shift exactly (the
+      two shifts differ ONLY in frame 0's carried past slice), so the site
+      exposes ``assemble_frame0`` for an NT=1 recompute of frame 0 and
+      ``record`` for the carry extraction (a pure pre-shift input slice,
+      reference temporal_shift.py:68).
+    """
+
+    def __init__(self, cfg, carry, future, write):
+        self._cfg = cfg
+        self.carry = carry
+        self.future = future
+        self._write = write
+
+    def __call__(self, h):
+        shifted, new_c = temporal_shift_chunk(
+            h, self.carry, self._cfg.fold_div, self._cfg.shift_mode,
+            future_buffer_len=self.future)
+        self._write(new_c)
+        return shifted
+
+    def record(self, xin):
+        """Slot-write the outgoing carry: the pre-shift input slice at frame
+        ``T-1-future`` (temporal_shift_chunk's ``src``)."""
+        t = xin.shape[1]
+        fold = xin.shape[-1] // self._cfg.fold_div
+        lo, hi = ((0, 2 * fold) if 'toFutureOnly' in self._cfg.shift_mode
+                  else (fold, 2 * fold))
+        self._write(xin[:, t - 1 - self.future:t - self.future, ..., lo:hi])
+
+    def assemble_frame0(self, xin):
+        """Frame 0's shifted input under the chunk boundary: the carried
+        past slice where the segment shift would use zeros."""
+        fold = xin.shape[-1] // self._cfg.fold_div
+        x0 = xin[:, :1]
+        if 'toFutureOnly' in self._cfg.shift_mode:
+            head = (jnp.zeros_like(x0[..., :2 * fold]) if self.carry is None
+                    else self.carry.astype(xin.dtype))
+            return jnp.concatenate([head, x0[..., 2 * fold:]], axis=-1)
+        fut = (xin[:, 1:2, ..., :fold] if xin.shape[1] > 1
+               else jnp.zeros_like(x0[..., :fold]))
+        pst = (jnp.zeros_like(x0[..., fold:2 * fold]) if self.carry is None
+               else self.carry.astype(xin.dtype))
+        return jnp.concatenate([fut, pst, x0[..., 2 * fold:]], axis=-1)
+
+
+def _chunk_shift_conv_site(conv_p, norm_p, x, cfg, act, site, x_add=None):
+    """Carry-threaded shift+conv site: the fused segment kernel computes the
+    whole chunk with zero temporal boundaries, then frame 0 — the only frame
+    whose shifted input differs under the chunk protocol — is recomputed
+    from the carried slice and spliced in. Cost: one NT=1 XLA conv per site
+    (~1/T of the site) instead of the whole chunk falling back to XLA."""
+    xin = x if x_add is None else x + x_add
+    if xin.shape[1] > 1 and _fused_ok(x, conv_p, cfg,
+                                      n_in=1 if x_add is None else 2):
+        from bsvd_tpu.ops.shift_conv import shift_conv, shift_conv_add2
+        n, t, h, w, c = x.shape
+        causal = 'toFutureOnly' in cfg.shift_mode
+        if x_add is None:
+            y = shift_conv(x.reshape(n * t, h, w, c), conv_p['w'],
+                           conv_p['b'], t, cfg.fold_div, cfg.act, causal)
+        else:
+            y = shift_conv_add2(x.reshape(n * t, h, w, c),
+                                x_add.reshape(n * t, h, w, c), conv_p['w'],
+                                conv_p['b'], t, cfg.fold_div, cfg.act,
+                                causal)
+        y = y.reshape(n, t, h, w, y.shape[-1])
+        y0 = act(conv2d(conv_p, site.assemble_frame0(xin)))
+        site.record(xin)
+        # dynamic-update-slice, NOT concat([y0, y[:, 1:]]): XLA updates the
+        # kernel's output buffer in place; the concat materializes a second
+        # full (T,H,W,C) tensor per site (16 sites/chunk)
+        return y.at[:, :1].set(y0.astype(y.dtype))
+    xs = site(xin)
     return act(norm_apply(cfg.norm, norm_p, conv2d(conv_p, xs)))
 
 
@@ -437,9 +530,17 @@ def _down_folded(conv_p, norm_p, x_f, cfg, act):
     return act(norm_apply(cfg.norm, norm_p, y))
 
 
-def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
+def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None,
+                        shift_fns=None):
     """DenBlock stage with the full-res segment in the folded domain.
     Mirrors _stage_apply exactly (same site order/semantics).
+
+    ``shift_fns``: optional per-shift-site sequence (len == 8; the folded
+    gate excludes shift_input) indexed POSITIONALLY like _stage_apply —
+    the chunked-carry path threads its ``_ChunkShiftSite`` objects here so
+    chunked MIMO keeps the folded stems and fused kernels. Width folding
+    only touches the stems; the temporal sites run on the natural half/
+    quarter-res tensors, so carry shapes are identical to _stage_apply's.
 
     ``fold_io``: x is ALREADY width-folded and the folded output is
     returned un-unfolded — chaining stages entirely in the folded domain
@@ -462,6 +563,14 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
         in_ch = x.shape[-1]
 
     m1 = (lambda v: v) if mask is None else (lambda v: mask(v, 1))
+
+    def pair(k):
+        """Shift fns for sites (k, k+1) of this stage, or None —
+        positional slots identical to _stage_apply's (off == 0: the folded
+        gate excludes shift_input)."""
+        if shift_fns is None:
+            return None
+        return (shift_fns[k], shift_fns[k + 1])
 
     rc = cfg.residual_ch
     s_out = p['outc']['c2']['w'].shape[-1]
@@ -500,7 +609,7 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
     if mask is not None:
         x1 = mask(x1, 2)
     x1 = _cvblock_apply(p['down0']['cv'], x1, cfg, act, True,
-                        mask=mask, level=2)
+                        shift_pair=pair(0), mask=mask, level=2)
 
     d = p['down1']
     if x1.shape[-2] % 2 == 0:
@@ -510,17 +619,19 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None):
         x2 = act(norm_apply(cfg.norm, d['n'], conv2d(d['conv'], x1, stride=2)))
     if mask is not None:
         x2 = mask(x2, 4)
-    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, mask=mask, level=4)
+    x2 = _cvblock_apply(d['cv'], x2, cfg, act, True, shift_pair=pair(2),
+                        mask=mask, level=4)
 
     u = p['up2']
-    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, mask=mask, level=4)
+    x2 = _cvblock_apply(u['cv'], x2, cfg, act, True, shift_pair=pair(4),
+                        mask=mask, level=4)
     x2 = _up_conv_ps(u['conv'], x2, cfg, act)
     if mask is not None:
         x2 = mask(x2, 2)
 
     u = p['up1']
-    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, x_add=x2,
-                        mask=mask, level=2)
+    x1 = _cvblock_apply(u['cv'], x1, cfg, act, True, shift_pair=pair(6),
+                        x_add=x2, mask=mask, level=2)
     x1uf = _up_conv_psfold(u['conv'], x1, cfg, act)
     if mask is not None:
         x1uf = mask(x1uf, 1)
@@ -681,6 +792,14 @@ def wnet_apply_chunk(params, x, cfg, carries, future_buffer_len=0):
     ordering to the reference's global FIFO queue, but slot-addressed, so a
     trace reordering can never mismatch a carry with its site.
 
+    On TPU with the folded gate open this runs the SAME fused/folded kernel
+    program as whole-clip MIMO (folded stems, Pallas shift convs, chain-res
+    outc): the segment kernels compute frames 1..T-1 of each chunk shift
+    exactly, and only frame 0 — the one frame whose shifted input carries
+    across the chunk boundary — is recomputed per site (_chunk_shift_conv_
+    site). Elsewhere (CPU tests, unsupported shapes) every site falls back
+    to the XLA chunk shift, bit-identical to the pre-fusion path.
+
     Args:
         carries: list of per-site carry arrays (or None on the first chunk).
     Returns:
@@ -690,18 +809,24 @@ def wnet_apply_chunk(params, x, cfg, carries, future_buffer_len=0):
     per_stage = cfg.shift_num // cfg.stage_num
     new_carries = [None] * cfg.shift_num
 
-    def make_site_fn(idx):
-        def fn(h):
-            carry = None if carries is None else carries[idx]
-            shifted, new_c = temporal_shift_chunk(
-                h, carry, cfg.fold_div, cfg.shift_mode,
-                future_buffer_len=future_buffer_len)
-            new_carries[idx] = new_c       # slot-keyed, order-independent
-            return shifted
-        return fn
+    def make_site(idx):
+        def write(c):
+            new_carries[idx] = c       # slot-keyed, order-independent
+        return _ChunkShiftSite(cfg, None if carries is None else carries[idx],
+                               future_buffer_len, write)
+
+    if _folded_stems_ok(x, cfg):
+        # chain the stages in the folded domain like wnet_apply (the folded
+        # gate excludes shift_input, so all sites live in _stage_apply_folded)
+        xf = _fold2(x)
+        for i in range(cfg.stage_num):
+            fns = [make_site(i * per_stage + j) for j in range(per_stage)]
+            xf = _stage_apply_folded(params[f'stage{i}'], xf, cfg, act,
+                                     fold_io=True, shift_fns=fns)
+        return _unfold2(xf), new_carries
 
     for i in range(cfg.stage_num):
-        fns = [make_site_fn(i * per_stage + j) for j in range(per_stage)]
+        fns = [make_site(i * per_stage + j) for j in range(per_stage)]
         x = _stage_apply(params[f'stage{i}'], x, cfg, act, shift_fns=fns)
     return x, new_carries
 

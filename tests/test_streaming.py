@@ -303,3 +303,41 @@ def test_stream_denoiser_mesh_gate():
     sd = StreamDenoiser(params, cfg, batch=8, height=16, width=16,
                         mesh=make_mesh(8, spatial=2))
     assert sd.mesh is None              # spatial meshes: not this path
+
+
+@pytest.mark.parametrize('t,psz,future', [
+    (12, 4, 0),    # exact multiple, no look-ahead
+    (10, 4, 2),    # look-ahead with sticky disable near the end
+    (11, 3, 2),    # look-ahead + ragged tail
+])
+def test_block_stream_denoiser_matches_chunked_protocol(t, psz, future):
+    """BlockStreamDenoiser fed incrementally (odd-sized pushes) == the
+    denoise_seq temp_psz protocol on the whole clip, frame for frame —
+    the chunk boundaries, sticky look-ahead disable, and reflect-padded
+    ragged tail all line up with the reference semantics."""
+    from bsvd_tpu.models.seq_inference import BlockStreamDenoiser, denoise_seq
+    cfg = _cfg(norm='none')
+    params = wnet_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(8)
+    seq = rng.uniform(0, 1, (t, 3, 16, 16)).astype(np.float32)
+    ref = denoise_seq(params, cfg, seq, noise_sigma=0.1, temp_psz=psz,
+                      future_buffer_len=future, host_chunks=True)
+
+    # the client consumes ready-made (N, H, W, C_in) frames w/ noise map
+    frames = np.transpose(seq, (0, 2, 3, 1))[:, None]          # (T,1,H,W,3)
+    nm = np.full(frames.shape[:-1] + (1,), 0.1, np.float32)
+    frames = np.concatenate([frames, nm], axis=-1)
+
+    bsd = BlockStreamDenoiser(params, cfg, psz=psz, future_buffer_len=future)
+    outs = []
+    i = 0
+    for size in (1, 3, 2, 5, 4, 1, 7, 6, 2, 3):                # odd pushes
+        outs.extend(bsd.push_block(list(frames[i:i + size])))
+        i += size
+        if i >= t:
+            break
+    outs.extend(bsd.flush())
+    assert len(outs) == t
+    got = np.stack([np.asarray(o[0], np.float32) for o in outs])
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref,
+                               atol=2e-6)

@@ -135,3 +135,111 @@ def test_fold_io_stage_chain_matches_plain():
     got = _unfold2(xf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# chunked-carry path on the folded/fused program
+# ---------------------------------------------------------------------------
+
+def test_chunk_site_frame0_correction_matches_chunk_shift():
+    """The fused chunk site's decomposition — zero-boundary segment shift
+    for frames 1..T-1 + a carried-slice reassembly of frame 0 — equals
+    temporal_shift_chunk exactly, and its recorded carry matches."""
+    from bsvd_tpu.archs.wnet_arch import _ChunkShiftSite
+    from bsvd_tpu.nn.shift import temporal_shift, temporal_shift_chunk
+    rng = np.random.default_rng(7)
+    for mode in ('TSM', 'TSM_toFutureOnly'):
+        for future in (0, 2):
+            for has_carry in (False, True):
+                cfg = _cfg(shift_mode=mode)
+                x = jnp.asarray(rng.standard_normal((2, 5, 4, 6, 16)),
+                                jnp.float32)
+                fold = 16 // cfg.fold_div
+                width = 2 * fold if 'toFutureOnly' in mode else fold
+                carry = (jnp.asarray(
+                    rng.standard_normal((2, 1, 4, 6, width)), jnp.float32)
+                    if has_carry else None)
+                written = []
+                site = _ChunkShiftSite(cfg, carry, future, written.append)
+                ref_sh, ref_carry = temporal_shift_chunk(
+                    x, carry, cfg.fold_div, mode, future_buffer_len=future)
+                seg = temporal_shift(x, cfg.fold_div, mode)
+                got_sh = jnp.concatenate(
+                    [site.assemble_frame0(x), seg[:, 1:]], axis=1)
+                site.record(x)
+                tag = f'{mode} future={future} carry={has_carry}'
+                np.testing.assert_allclose(np.asarray(got_sh),
+                                           np.asarray(ref_sh),
+                                           rtol=0, atol=0, err_msg=tag)
+                np.testing.assert_allclose(np.asarray(written[-1]),
+                                           np.asarray(ref_carry),
+                                           rtol=0, atol=0, err_msg=tag)
+
+
+def _run_chunks(params, chunks, cfg, future):
+    from bsvd_tpu.archs.wnet_arch import wnet_apply_chunk
+    outs, carries = [], None
+    for ch in chunks:
+        o, carries = wnet_apply_chunk(params, ch, cfg, carries,
+                                      future_buffer_len=future)
+        outs.append(np.asarray(o))
+    return outs, carries
+
+
+def test_chunked_folded_matches_plain(monkeypatch):
+    """wnet_apply_chunk through the folded-stage routing (the TPU path) ==
+    the plain per-stage chunk forward, carries included."""
+    import bsvd_tpu.archs.wnet_arch as wa
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    chunks = [jnp.asarray(rng.uniform(0, 1, (1, 6, 16, 24, 4)), jnp.float32)
+              for _ in range(3)]
+    ref, ref_c = _run_chunks(params, chunks, cfg, 2)
+    monkeypatch.setattr(wa, '_folded_stems_ok', lambda x, c: True)
+    got, got_c = _run_chunks(params, chunks, cfg, 2)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5,
+                                   err_msg=f'chunk {i}')
+    for i, (r, g) in enumerate(zip(ref_c, got_c)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f'carry {i}')
+
+
+def test_chunk_fused_sites_match_plain(monkeypatch):
+    """The fused chunk site branch (segment kernel + frame-0 splice) == the
+    all-XLA chunk shift, with the Pallas kernel swapped for its XLA oracle
+    so the branch runs on CPU. Covers both shift modes and the up1 skip-add
+    (shift_conv_add2) site."""
+    import bsvd_tpu.archs.wnet_arch as wa
+    import bsvd_tpu.ops.shift_conv as sc
+    for mode in ('TSM', 'TSM_toFutureOnly'):
+        cfg = _cfg(shift_mode=mode)
+        params = wnet_init(jax.random.PRNGKey(6), cfg)
+        rng = np.random.default_rng(6)
+        chunks = [jnp.asarray(rng.uniform(0, 1, (1, 6, 16, 24, 4)),
+                              jnp.float32) for _ in range(3)]
+        ref, ref_c = _run_chunks(params, chunks, cfg, 2)
+
+        monkeypatch.setattr(wa, '_fused_ok', lambda *a, **k: True)
+        monkeypatch.setattr(
+            sc, 'shift_conv',
+            lambda x, w, b, t, fd=8, act='relu6', causal=False:
+                sc.shift_conv_reference(x, w, b, t_len=t, fold_div=fd,
+                                        act=act, causal=causal))
+        monkeypatch.setattr(
+            sc, 'shift_conv_add2',
+            lambda x, x2, w, b, t, fd=8, act='relu6', causal=False:
+                sc.shift_conv_reference(x + x2, w, b, t_len=t, fold_div=fd,
+                                        act=act, causal=causal))
+        got, got_c = _run_chunks(params, chunks, cfg, 2)
+        monkeypatch.undo()
+
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5,
+                                       err_msg=f'{mode} chunk {i}')
+        for i, (r, g) in enumerate(zip(ref_c, got_c)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f'{mode} carry {i}')
