@@ -39,6 +39,16 @@ def _bench_mimo(jax, jnp, params, cfg, wnet_apply):
 
     fwd = jax.jit(chain_fwd)
     ssum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+    # compiler-reported peak HBM (live d.memory_stats() is None through the
+    # remote tunnel): temps + args + output of the compiled MIMO program —
+    # the memory axis the reference publishes (profile.py:48-49, 2.26 GB)
+    peak_hbm_gb = None
+    try:
+        ma = fwd.lower(params, x).compile().memory_analysis()
+        peak_hbm_gb = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                       + ma.output_size_in_bytes) / 2**30
+    except Exception:
+        pass
     float(ssum(fwd(params, x)))               # compile + warm + sync
 
     times = []
@@ -50,7 +60,7 @@ def _bench_mimo(jax, jnp, params, cfg, wnet_apply):
             y = fwd(params, y)
         float(ssum(y))                        # sync
         times.append((time.perf_counter() - t0) / k)
-    return min(times)
+    return min(times), peak_hbm_gb
 
 
 def _bench_streaming(jax, jnp, params, cfg):
@@ -100,7 +110,7 @@ def main():
                      norm='none', act='relu6', shift_mode='TSM')
     params = make_params(cfg)
 
-    mimo_s = _bench_mimo(jax, jnp, params, cfg, wnet_apply)
+    mimo_s, peak_hbm_gb = _bench_mimo(jax, jnp, params, cfg, wnet_apply)
     stream_s = _bench_streaming(jax, jnp, params, cfg)
 
     cfg_causal = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
@@ -120,6 +130,8 @@ def main():
             'causal_streaming_fps': round(1.0 / causal_s, 2),
             'mimo_ms_per_frame': round(mimo_s * 1e2, 3),
             'baseline_ms_per_frame': round(BASELINE_S * 1e2, 3),
+            'peak_hbm_gb': (round(peak_hbm_gb, 3)
+                            if peak_hbm_gb is not None else None),
         },
     }))
 

@@ -196,6 +196,13 @@ def make_train_step(cfg, tx, cri_pix, cri_perceptual=None,
         # GSPMD fallback (BN / spatial+perceptual): custom calls have no
         # partitioning rules -> run the XLA conv path
         import dataclasses
+        import logging
+        logging.getLogger('bsvd_tpu').warning(
+            'spatial-mesh train step with BN or a perceptual loss: fused '
+            'Pallas kernels disabled (GSPMD cannot partition custom calls) '
+            '— the step runs XLA convs (~3x slower forward per shard, '
+            'PERF.md "Spatial-mesh fallback cost"). Use norm="none" + pixel '
+            'losses to keep the fused halo-exchange path.')
         cfg = dataclasses.replace(cfg, use_fused=False)
 
     def step(params, opt_state, ema_params, batch, it, ema_decay):

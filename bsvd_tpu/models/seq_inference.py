@@ -243,7 +243,15 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
         # fallback (chunked protocols / unaligned H): GSPMD partitioning,
         # which has no rules for Pallas custom calls -> XLA conv path
         import dataclasses
+        import logging
         from bsvd_tpu.parallel.mesh import batch_sharding
+        logging.getLogger('bsvd_tpu').warning(
+            'spatial mesh + %s: fused Pallas kernels disabled (GSPMD cannot '
+            'partition custom calls) — the XLA conv path measures ~3x '
+            'slower per shard (PERF.md "Spatial-mesh fallback cost"). Use '
+            'temp_psz=-1 with H divisible by the mesh to keep the fused '
+            'halo-exchange path.',
+            'chunked protocol' if not whole_clip else 'unaligned H')
         cfg = dataclasses.replace(cfg, use_fused=False)
         # N=1 at inference: keep batch replicated, shard H over 'spatial'
         x = jax.device_put(x, batch_sharding(mesh, 5, batch_axis=None,
