@@ -81,7 +81,8 @@ def _is_true(cond):
 
 
 def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
-                   causal=False, assume_filled=False, act_name=None):
+                   causal=False, assume_filled=False, act_name=None,
+                   mask1=None):
     """One streaming step of shift-conv(+norm+act).
 
     Returns (new_state, out, out_valid). Bidirectional: conv input =
@@ -92,7 +93,13 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
 
     ``valid`` and ``state['has_center']`` may be traced bools (scan path) or
     static Python bools (client path — compiles mask-free).
+
+    ``mask1``: optional level-bound row-validity hook (spatially-sharded
+    streaming, parallel/spatial.py) applied to the conv OUTPUT; the carried
+    state is pure lane slices of the (already masked) inputs, so it needs
+    no masking of its own.
     """
+    m = (lambda v: v) if mask1 is None else mask1
     c = x.shape[-1]
     fold = c // fold_div
     can_compute = True if assume_filled else state['has_center']
@@ -111,10 +118,10 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
                     x, B, conv_p['w'], conv_p['b'], fold_div=fold_div,
                     act=act_name, causal=True)
                 return ({'packed': new_b,
-                         'has_center': state['has_center']}, out, True)
+                         'has_center': state['has_center']}, m(out), True)
         inp = jnp.concatenate([B[..., :2 * fold], xz[..., 2 * fold:]],
                               axis=-1)
-        out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
+        out = m(_conv_act_fused(conv_p, norm, norm_p, act, inp, act_name))
         new_b = _sel(valid, x, B)
         return ({'packed': new_b,
                  'has_center': state['has_center']}, out, valid)
@@ -132,14 +139,14 @@ def _bibuffer_step(conv_p, norm, norm_p, act, state, x, valid, fold_div,
                                               fold_div=fold_div,
                                               act=act_name)
             return ({'packed': new_b,
-                     'has_center': state['has_center']}, out, True)
+                     'has_center': state['has_center']}, m(out), True)
 
     inp = jnp.concatenate([
         xz[..., :fold],                      # future slice from the live frame
         B[..., :fold],                       # past slice (frame t-2)
         B[..., 2 * fold:],                   # current frame (t-1) body
     ], axis=-1)
-    out = _conv_act_fused(conv_p, norm, norm_p, act, inp, act_name)
+    out = m(_conv_act_fused(conv_p, norm, norm_p, act, inp, act_name))
     out_valid = can_compute
 
     new_b = jnp.concatenate([
@@ -241,15 +248,19 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
 
 
 def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
-                assume_filled=False, act_name=None):
-    """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149)."""
+                assume_filled=False, act_name=None, mask1=None):
+    """MemCvBlock: two buffered shift-convs (bsvd_arch.py:116-149).
+    ``mask1``: level-bound row-validity hook (spatial sharding) — applied
+    after EACH conv, so the chained two-conv kernel (which cannot mask its
+    VMEM intermediate) is bypassed in favor of two single-conv kernels."""
     # steady-state client path: BOTH convs + both state updates chain as
     # ONE kernel (ops/bibuffer_conv.bibuffer_chain_pallas) — the
     # intermediate frame never round-trips HBM and the block costs one
     # dispatch instead of two. Causal fuses on any valid frame (no fill
     # masking: the causal output tracks the live frame).
     from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
-    if (_is_true(valid) and (assume_filled or causal) and norm == 'none'
+    if (mask1 is None and _is_true(valid) and (assume_filled or causal)
+            and norm == 'none'
             and act_name in KERNEL_ACTS and 'b' in p['c1'] and 'b' in p['c2']):
         from bsvd_tpu.ops.bibuffer_conv import (bibuffer_chain_pallas,
                                                 bibuffer_chain_supported)
@@ -265,10 +276,10 @@ def _memcv_step(p, norm, act, st_pair, x, valid, fold_div, causal,
                     y, True)
     s1, o1, v1 = _bibuffer_step(p['c1'], norm, p['n1'], act, st_pair[0], x,
                                 valid, fold_div, causal, assume_filled,
-                                act_name)
+                                act_name, mask1)
     s2, o2, v2 = _bibuffer_step(p['c2'], norm, p['n2'], act, st_pair[1], o1,
                                 v1, fold_div, causal, assume_filled,
-                                act_name)
+                                act_name, mask1)
     return [s1, s2], o2, v2
 
 
@@ -384,7 +395,7 @@ def _up_conv_psfold_stream(conv_p, x, act):
 
 
 def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
-                       fold_io=False):
+                       fold_io=False, mask=None):
     """One frame through one DenBlock stage (streaming DenBlock.forward,
     bsvd_arch.py:374-396). ``assume_filled=True`` (static) treats every
     buffer as primed — the steady-state client path compiles mask-free.
@@ -392,10 +403,21 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     ``fold_io``: x arrives width-folded and the folded output is returned —
     the full-res segment (incl. the skip1/skip2 rings, see
     _stage_stream_init) then lives entirely in the folded domain with no
-    unfold/refold reshapes inside or between stages."""
+    unfold/refold reshapes inside or between stages.
+
+    ``mask``: optional (v, level) -> v row-validity hook for the spatially
+    sharded streaming step (parallel/spatial.py): applied after every conv
+    site so global-edge shards reproduce per-conv zero padding exactly
+    (same protocol as wnet_arch._stage_apply_folded). With a mask the
+    in-VMEM conv CHAINS are unbundled into single-conv kernels (a chain
+    cannot mask its intermediate); all other kernels stay engaged."""
     norm = cfg.norm
     fd = cfg.fold_div
     causal = 'toFutureOnly' in cfg.shift_mode
+    m1 = None if mask is None else (lambda v: mask(v, 1))
+    m2 = None if mask is None else (lambda v: mask(v, 2))
+    m4 = None if mask is None else (lambda v: mask(v, 4))
+    mid = lambda v: v
     # Per-frame convs route through the NT=1 ROW-BLOCK-pipelined Pallas
     # kernel (ops/conv3x3._kernel_nt1). The original frame-minor kernel
     # regressed at NT=1 (32.8 -> 37.6 ms/frame: no cross-step ring reuse,
@@ -425,34 +447,52 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     if cfg.shift_input:
         s1, x0, v0 = _bibuffer_step(p['inc']['c1'], norm, p['inc']['n1'], act,
                                     st['inc'][0], x, valid, fd, causal,
-                                    assume_filled)
+                                    assume_filled, mask1=m1)
         s2, x0, v0 = _bibuffer_step(p['inc']['c2'], norm, p['inc']['n2'], act,
                                     st['inc'][1], x0, v0, fd, causal,
-                                    assume_filled)
+                                    assume_filled, mask1=m1)
         new_st['inc'] = [s1, s2]
     elif fold_io:
         xf = x
         s_out0 = p['outc']['c2']['w'].shape[-1]
         if xf.shape[-1] >= 128:
-            x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
-                                      act, an or 'relu6', an)
+            if mask is None:
+                x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
+                                          act, an or 'relu6', an)
+            else:
+                x0f = m1(_xla_site_folded(p['inc']['c1'], xf, act,
+                                          kernel_act=an))
+                x0f = m1(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                          kernel_act=an))
         elif an is not None and 2 * s_out0 >= 128:
             # embed the sub-128-lane input with a 0/1 GEMM so inc runs the
             # Pallas chain instead of an XLA K=8 conv + layout fix (see
             # wnet_arch._stage_apply_folded)
             in_c = xf.shape[-1] // 2
             xe = embed_half_lanes(xf, in_c, s_out0)
-            x0f = _pair_folded_stream(pad_in_channels(p['inc']['c1'], s_out0),
-                                      p['inc']['c2'], xe, act,
-                                      an or 'relu6', an)
+            if mask is None:
+                x0f = _pair_folded_stream(
+                    pad_in_channels(p['inc']['c1'], s_out0),
+                    p['inc']['c2'], xe, act, an or 'relu6', an)
+            else:
+                x0f = m1(_xla_site_folded(
+                    pad_in_channels(p['inc']['c1'], s_out0), xe, act,
+                    kernel_act=an))
+                x0f = m1(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                          kernel_act=an))
         else:
-            x0f = _xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an)
-            x0f = _xla_site_folded(p['inc']['c2'], x0f, act, kernel_act=an)
+            mm = m1 or mid
+            x0f = mm(_xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an))
+            x0f = mm(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                      kernel_act=an))
         x0 = x0f
         v0 = valid
     else:
-        x0 = act(norm_apply(norm, p['inc']['n1'], conv2d(p['inc']['c1'], x)))
-        x0 = act(norm_apply(norm, p['inc']['n2'], conv2d(p['inc']['c2'], x0)))
+        mm = m1 or mid
+        x0 = mm(act(norm_apply(norm, p['inc']['n1'],
+                               conv2d(p['inc']['c1'], x))))
+        x0 = mm(act(norm_apply(norm, p['inc']['n2'],
+                               conv2d(p['inc']['c2'], x0))))
         v0 = valid
 
     new_st['skip2'] = _ring_push(st['skip2'], x0, v0)
@@ -462,9 +502,11 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         y = _xla_down_folded(d['conv'], x0, act, kernel_act=an)
     else:
         y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x0, stride=2)))
+    if m2 is not None:
+        y = m2(y)
     new_st['down0'], x1, v1 = _memcv_step(d['cv'], norm, act, st['down0'],
                                           y, v0, fd, causal, assume_filled,
-                                          an)
+                                          an, mask1=m2)
     new_st['skip3'] = _ring_push(st['skip3'], x1, v1)
 
     d = p['down1']
@@ -473,22 +515,27 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         y = _xla_down_folded(d['conv'], _fold2s(x1), act, kernel_act=an)
     else:
         y = act(norm_apply(norm, d['n'], conv2d(d['conv'], x1, stride=2)))
+    if m4 is not None:
+        y = m4(y)
     new_st['down1'], x2, v2 = _memcv_step(d['cv'], norm, act, st['down1'],
                                           y, v1, fd, causal, assume_filled,
-                                          an)
+                                          an, mask1=m4)
 
     u = p['up2']
     new_st['up2'], x2, v2 = _memcv_step(u['cv'], norm, act, st['up2'],
                                         x2, v2, fd, causal, assume_filled,
-                                        an)
+                                        an, mask1=m4)
     x2 = _up_conv_ps_stream(u['conv'], x2, act, use_k=an is not None)
+    if m2 is not None:
+        x2 = m2(x2)
 
     new_st['skip3'], sk3 = _ring_pop(new_st['skip3'], v2)
 
     u = p['up1']
     new_st['up1'], x1u, v1u = _memcv_step(u['cv'], norm, act, st['up1'],
                                           x2 + sk3.astype(x2.dtype), v2, fd,
-                                          causal, assume_filled, an)
+                                          causal, assume_filled, an,
+                                          mask1=m2)
 
     o = p['outc']
     s_out = o['c2']['w'].shape[-1]
@@ -497,6 +544,8 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         # chain + skip-add + residual combine run as ONE kernel when the
         # folded output is lane-aligned (mirrors wnet_arch's folded tail)
         x1uf = _up_conv_psfold_stream(u['conv'], x1u, act)
+        if m1 is not None:
+            x1uf = m1(x1uf)
         new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
         sk2f = sk2.astype(x1uf.dtype)
         new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
@@ -504,7 +553,7 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
         # wnet_arch.embed_half_lanes)
         xpad = embed_half_lanes(sk1f, rc, s_out)
-        if an is not None:
+        if an is not None and mask is None:
             from bsvd_tpu.ops.conv3x3 import fold_width_weights
             from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
                                                  conv_chain_supported)
@@ -516,16 +565,24 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
                 yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
                                          cfg.act, 'none', rc, True)
                 return new_st, yf, v1u
-        yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
-                                 x2_f=sk2f)
+        if mask is None:
+            yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
+                                     x2_f=sk2f)
+        else:
+            yf = m1(_xla_site_folded(o['c1'], x1uf, act, kernel_act=an,
+                                     x2_f=sk2f))
+            yf = _xla_site_folded(o['c2'], yf, act, act_name='none',
+                                  kernel_act='none' if an else None)
         lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
         out_f = jnp.where(lane_is_res, xpad - yf, yf)
         return new_st, out_f, v1u
 
     x1u = _up_conv_ps_stream(u['conv'], x1u, act, use_k=an is not None)
+    if m1 is not None:
+        x1u = m1(x1u)
     new_st['skip2'], sk2 = _ring_pop(new_st['skip2'], v1u)
-    y = act(norm_apply(norm, o['n1'],
-                       conv2d(o['c1'], x1u + sk2.astype(x1u.dtype))))
+    y = (m1 or mid)(act(norm_apply(norm, o['n1'],
+                        conv2d(o['c1'], x1u + sk2.astype(x1u.dtype)))))
     y = conv2d(o['c2'], y)
 
     new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
@@ -539,6 +596,296 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
 
 
 # ---------------------------------------------------------------------------
+# multi-frame (block) streaming step — steady state only
+# ---------------------------------------------------------------------------
+
+def _ring_thread(state, frames):
+    """F interleaved push-then-pop pairs through a skip ring (exactly the
+    per-frame step's ring order: frame j pushes, then frame j pops), in the
+    STEADY state — where the ring is a pure delay line: the gap w - r is
+    ``depth - 1`` by construction (ring depths are sized as the pipeline
+    in-flight count + 1, and the block path only runs with every buffer
+    primed), so pop_j == push_{j - (depth-1)}. The first min(depth-1, F)
+    pops come from the stored entries (single-slot dynamic reads — a fancy
+    multi-index gather lowers to while loops on TPU, measured 2x slower),
+    the rest straight from this block's pushes; the write-back rebases the
+    slots to 0..D-1 (r=0, w=D) with ONE static update. Returns
+    (new_state, pops (F, N, H, W, C))."""
+    depth = state['buf'].shape[0]
+    dly = depth - 1
+    f = frames.shape[0]
+    if dly == 0:                        # causal rings: pure passthrough
+        return state, frames
+    r = state['r'] % depth
+    k = min(dly, f)
+    stored = [lax.dynamic_index_in_dim(state['buf'], (r + j) % depth, 0,
+                                       keepdims=True) for j in range(k)]
+    if f >= dly:
+        pops = jnp.concatenate(stored + [frames[:f - dly]], axis=0) \
+            if f > dly else jnp.concatenate(stored, axis=0)
+        new_entries = frames[f - dly:]
+    else:
+        rest = [lax.dynamic_index_in_dim(state['buf'], (r + f + j) % depth,
+                                         0, keepdims=True)
+                for j in range(dly - f)]
+        pops = (jnp.concatenate(stored, axis=0) if len(stored) > 1
+                else stored[0])
+        new_entries = jnp.concatenate(rest + [frames], axis=0)
+    buf = lax.dynamic_update_slice_in_dim(
+        state['buf'], new_entries.astype(state['buf'].dtype), 0, axis=0)
+    zero = jnp.zeros((), jnp.int32)
+    return {'buf': buf, 'w': zero + dly, 'r': zero}, pops
+
+
+def _bibuffer_multi_site(conv_p, norm, norm_p, act, state, xs, fold_div,
+                         causal, act_name, mask1=None):
+    """F-frame advance of one buffered shift-conv (steady state, all frames
+    valid): ONE weight-shared kernel when the site qualifies (N == 1,
+    ops/bibuffer_conv.bibuffer_multi_pallas — MIMO-kernel throughput), a
+    scanned per-frame step otherwise. ``xs``: (F, N, H, W, C). ``mask1``:
+    level-bound row-validity hook applied to the conv outputs (the carried
+    state is lane slices of the already-masked inputs)."""
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
+    m = (lambda v: v) if mask1 is None else mask1
+    f, n_ = xs.shape[:2]
+    if (n_ == 1 and norm == 'none' and act_name in KERNEL_ACTS
+            and 'b' in conv_p):
+        from bsvd_tpu.ops.bibuffer_conv import (bibuffer_multi_pallas,
+                                                bibuffer_multi_supported)
+        xsq = xs[:, 0]
+        if bibuffer_multi_supported(xsq.shape, conv_p['w'].shape, xs.dtype):
+            y, bn = bibuffer_multi_pallas(xsq, state['packed'], conv_p['w'],
+                                          conv_p['b'], fold_div=fold_div,
+                                          act=act_name, causal=causal)
+            return ({'packed': bn, 'has_center': state['has_center']},
+                    m(y[:, None]))
+
+    def body(s, xi):
+        s2, y, _ = _bibuffer_step(conv_p, norm, norm_p, act, s, xi, True,
+                                  fold_div, causal, True, act_name,
+                                  mask1=mask1)
+        return s2, y
+
+    s_n, ys = lax.scan(body, state, xs)
+    return s_n, ys
+
+
+def _memcv_multi(p, norm, act, st_pair, xs, fold_div, causal, act_name,
+                 mask1=None):
+    """F-frame MemCvBlock advance: both buffered convs as weight-shared
+    multi-frame kernels (steady state)."""
+    s1, y1 = _bibuffer_multi_site(p['c1'], norm, p['n1'], act, st_pair[0],
+                                  xs, fold_div, causal, act_name, mask1)
+    s2, y2 = _bibuffer_multi_site(p['c2'], norm, p['n2'], act, st_pair[1],
+                                  y1, fold_div, causal, act_name, mask1)
+    return [s1, s2], y2
+
+
+def _stage_stream_step_block(p, st, xs, cfg, act, fold_io=False, mask=None):
+    """F frames through one DenBlock stage in steady state — exactly F
+    repetitions of ``_stage_stream_step(assume_filled=True, valid=True)``
+    (property-tested), but each temporal site advances via ONE weight-shared
+    F-frame kernel and each non-temporal site via the NT=F MIMO kernels, so
+    a block runs at whole-clip kernel throughput instead of paying the NT=1
+    per-frame DMA prologue 16 times per frame.
+
+    ``xs``: (F, N, H, W, C) (width-folded when ``fold_io``). ``mask``: the
+    spatial-sharding row-validity hook (see _stage_stream_step); unbundles
+    the conv chains."""
+    norm = cfg.norm
+    fd = cfg.fold_div
+    causal = 'toFutureOnly' in cfg.shift_mode
+    from bsvd_tpu.ops.conv3x3 import KERNEL_ACTS
+    use_k = (cfg.use_fused and cfg.norm == 'none' and _on_tpu()
+             and cfg.act in KERNEL_ACTS)
+    an = cfg.act if use_k else None
+    m1 = None if mask is None else (lambda v: mask(v, 1))
+    m2 = None if mask is None else (lambda v: mask(v, 2))
+    m4 = None if mask is None else (lambda v: mask(v, 4))
+    mid = lambda v: v
+    new_st = dict(st)
+    rc = cfg.residual_ch
+    f, n_ = xs.shape[:2]
+
+    def merge(v):                       # (F, N, ...) -> (F*N, ...) — free
+        return v.reshape((f * n_,) + v.shape[2:])
+
+    def split(v):
+        return v.reshape((f, n_) + v.shape[1:])
+
+    if fold_io:
+        _, _, h_, wf_, c2_ = xs.shape
+        xr = xs.reshape(f, n_, h_, wf_, 2, c2_ // 2)[..., :rc]
+        sk1_pushes = xr.reshape(f, n_, h_, wf_, 2 * rc)
+    else:
+        sk1_pushes = xs[..., :rc]
+
+    if cfg.shift_input:
+        s1, x0 = _bibuffer_multi_site(p['inc']['c1'], norm, p['inc']['n1'],
+                                      act, st['inc'][0], xs, fd, causal, an,
+                                      mask1=m1)
+        s2, x0 = _bibuffer_multi_site(p['inc']['c2'], norm, p['inc']['n2'],
+                                      act, st['inc'][1], x0, fd, causal, an,
+                                      mask1=m1)
+        new_st['inc'] = [s1, s2]
+    elif fold_io:
+        xf = merge(xs)
+        s_out0 = p['outc']['c2']['w'].shape[-1]
+        if xf.shape[-1] >= 128 and mask is None:
+            x0f = _pair_folded_stream(p['inc']['c1'], p['inc']['c2'], xf,
+                                      act, an or 'relu6', an)
+        elif xf.shape[-1] >= 128:
+            x0f = m1(_xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an))
+            x0f = m1(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                      kernel_act=an))
+        elif an is not None and 2 * s_out0 >= 128:
+            in_c = xf.shape[-1] // 2
+            xe = embed_half_lanes(xf, in_c, s_out0)
+            if mask is None:
+                x0f = _pair_folded_stream(
+                    pad_in_channels(p['inc']['c1'], s_out0),
+                    p['inc']['c2'], xe, act, an or 'relu6', an)
+            else:
+                x0f = m1(_xla_site_folded(
+                    pad_in_channels(p['inc']['c1'], s_out0), xe, act,
+                    kernel_act=an))
+                x0f = m1(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                          kernel_act=an))
+        else:
+            mm = m1 or mid
+            x0f = mm(_xla_site_folded(p['inc']['c1'], xf, act, kernel_act=an))
+            x0f = mm(_xla_site_folded(p['inc']['c2'], x0f, act,
+                                      kernel_act=an))
+        x0 = split(x0f)
+    else:
+        mm = m1 or mid
+        xm = merge(xs)
+        x0 = mm(act(norm_apply(norm, p['inc']['n1'],
+                               conv2d(p['inc']['c1'], xm))))
+        x0 = mm(act(norm_apply(norm, p['inc']['n2'],
+                               conv2d(p['inc']['c2'], x0))))
+        x0 = split(x0)
+
+    d = p['down0']
+    if fold_io:
+        y = split(_xla_down_folded(d['conv'], merge(x0), act, kernel_act=an))
+    else:
+        y = split(act(norm_apply(norm, d['n'],
+                                 conv2d(d['conv'], merge(x0), stride=2))))
+    if m2 is not None:
+        y = m2(y)
+    new_st['down0'], x1 = _memcv_multi(d['cv'], norm, act, st['down0'], y,
+                                       fd, causal, an, mask1=m2)
+
+    d = p['down1']
+    if fold_io and x1.shape[-2] % 2 == 0:
+        y = split(_xla_down_folded(d['conv'], _fold2s(merge(x1)), act,
+                                   kernel_act=an))
+    else:
+        y = split(act(norm_apply(norm, d['n'],
+                                 conv2d(d['conv'], merge(x1), stride=2))))
+    if m4 is not None:
+        y = m4(y)
+    new_st['down1'], x2 = _memcv_multi(d['cv'], norm, act, st['down1'], y,
+                                       fd, causal, an, mask1=m4)
+
+    u = p['up2']
+    new_st['up2'], x2 = _memcv_multi(u['cv'], norm, act, st['up2'], x2,
+                                     fd, causal, an, mask1=m4)
+    x2 = split(_up_conv_ps_stream(u['conv'], merge(x2), act,
+                                  use_k=an is not None))
+    if m2 is not None:
+        x2 = m2(x2)
+
+    new_st['skip3'], sk3 = _ring_thread(st['skip3'], x1)
+
+    u = p['up1']
+    new_st['up1'], x1u = _memcv_multi(u['cv'], norm, act, st['up1'],
+                                      x2 + sk3.astype(x2.dtype), fd, causal,
+                                      an, mask1=m2)
+
+    o = p['outc']
+    s_out = o['c2']['w'].shape[-1]
+    if fold_io:
+        x1uf = _up_conv_psfold_stream(u['conv'], merge(x1u), act)
+        if m1 is not None:
+            x1uf = m1(x1uf)
+        new_st['skip2'], sk2 = _ring_thread(st['skip2'], x0)
+        sk2f = merge(sk2).astype(x1uf.dtype)
+        new_st['skip1'], sk1 = _ring_thread(st['skip1'], sk1_pushes)
+        sk1f = merge(sk1).astype(x1uf.dtype)
+        xpad = embed_half_lanes(sk1f, rc, s_out)
+        if an is not None and mask is None:
+            from bsvd_tpu.ops.conv3x3 import fold_width_weights
+            from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
+                                                 conv_chain_supported)
+            w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
+            w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
+            if conv_chain_supported(sk2f.shape, w1.shape, w2.shape,
+                                    sk2f.dtype, n_in=2, has_res=True,
+                                    folded=True):
+                yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
+                                         cfg.act, 'none', rc, True)
+                return new_st, split(yf)
+        if mask is None:
+            yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
+                                     x2_f=sk2f)
+        else:
+            yf = m1(_xla_site_folded(o['c1'], x1uf, act, kernel_act=an,
+                                     x2_f=sk2f))
+            yf = _xla_site_folded(o['c2'], yf, act, act_name='none',
+                                  kernel_act='none' if an else None)
+        lane_is_res = jnp.asarray(np.arange(2 * s_out) % s_out < rc)
+        return new_st, split(jnp.where(lane_is_res, xpad - yf, yf))
+
+    x1um = _up_conv_ps_stream(u['conv'], merge(x1u), act,
+                              use_k=an is not None)
+    if m1 is not None:
+        x1um = m1(x1um)
+    new_st['skip2'], sk2 = _ring_thread(st['skip2'], x0)
+    y = (m1 or mid)(act(norm_apply(norm, o['n1'],
+                        conv2d(o['c1'],
+                               x1um + merge(sk2).astype(x1um.dtype)))))
+    y = conv2d(o['c2'], y)
+
+    new_st['skip1'], sk1 = _ring_thread(st['skip1'], sk1_pushes)
+    skpad = jnp.pad(merge(sk1).astype(y.dtype),
+                    [(0, 0)] * 3 + [(0, s_out - sk1.shape[-1])])
+    lane_is_res = jnp.asarray(np.arange(s_out) < rc)
+    return new_st, split(jnp.where(lane_is_res, skpad - y, y))
+
+
+def stream_step_block(params, state, xs, cfg):
+    """Advance the whole pipeline by F frames in ONE program (steady state
+    only: every buffer primed, every frame valid). Semantically exactly F
+    ``stream_step(..., True, cfg, assume_filled=True)`` advances, but each
+    of the 16 temporal convs runs as ONE weight-shared F-frame kernel and
+    the stems/ups run the NT=F MIMO kernels (StreamDenoiser.push_block's
+    throughput mode; reference counterpart: frame-by-frame
+    feedin_one_element, bsvd_arch.py:501-552).
+
+    Args:
+        xs: (F, N, H, W, C_in) stacked frames.
+    Returns:
+        (new_state, outs (F, N, H, W, out_ch)).
+    """
+    act = get_act(cfg.act)
+    fold_io = _fold_active(cfg, xs.shape[-2])
+    if fold_io:
+        fb, nb, hb_, wb, cb = xs.shape
+        xs = xs.reshape(fb, nb, hb_, wb // 2, 2 * cb)
+    new_state = []
+    for i in range(cfg.stage_num):
+        st, xs = _stage_stream_step_block(params[f'stage{i}'], state[i], xs,
+                                          cfg, act, fold_io=fold_io)
+        new_state.append(st)
+    if fold_io:
+        fb, nb, hb_, wb, cb = xs.shape
+        xs = xs.reshape(fb, nb, hb_, wb * 2, cb // 2)
+    return new_state, xs
+
+
+# ---------------------------------------------------------------------------
 # full-net streaming
 # ---------------------------------------------------------------------------
 
@@ -548,7 +895,8 @@ def stream_init(cfg, n, h, w, dtype=jnp.float32):
             for i in range(cfg.stage_num)]
 
 
-def stream_step(params, state, x, valid, cfg, assume_filled=False):
+def stream_step(params, state, x, valid, cfg, assume_filled=False,
+                mask=None):
     """Advance the whole pipeline by one frame.
 
     Args:
@@ -556,6 +904,8 @@ def stream_step(params, state, x, valid, cfg, assume_filled=False):
         valid: () bool — False during drain. May be a static Python bool
             (client path) or traced (scan path).
         assume_filled: static; treat all buffers as primed (steady state).
+        mask: optional (v, level) -> v row-validity hook (spatially sharded
+            streaming; see _stage_stream_step).
     Returns:
         (new_state, out (N, H, W, out_ch_of_last_stage), out_valid)
     """
@@ -569,24 +919,26 @@ def stream_step(params, state, x, valid, cfg, assume_filled=False):
     for i in range(cfg.stage_num):
         st, x, valid = _stage_stream_step(params[f'stage{i}'], state[i], x,
                                           valid, cfg, act, assume_filled,
-                                          fold_io=fold_io)
+                                          fold_io=fold_io, mask=mask)
         new_state.append(st)
     if fold_io:
         x = _unfold2s(x)
     return new_state, x, valid
 
 
-def stream_state_specs(cfg):
+def stream_state_specs(cfg, batch_axis='data', row_axis=None):
     """PartitionSpec pytree matching stream_init's structure: the stream
-    batch N rides the mesh 'data' axis (N-stream serving), scalars/counters
-    replicated. Ring buffers are (depth, N, H, W, C) — N is axis 1."""
+    batch N rides ``batch_axis`` (N-stream serving) and the row dimension
+    H rides ``row_axis`` (single-stream spatial sharding, where each shard
+    holds its halo-extended row block — parallel/spatial.py). Scalars and
+    counters are replicated. Ring buffers are (depth, N, H, W, C)."""
     from jax.sharding import PartitionSpec as P
 
     def bib():
-        return {'packed': P('data'), 'has_center': P()}
+        return {'packed': P(batch_axis, row_axis), 'has_center': P()}
 
     def ring():
-        return {'buf': P(None, 'data'), 'w': P(), 'r': P()}
+        return {'buf': P(None, batch_axis, row_axis), 'w': P(), 'r': P()}
 
     specs = []
     for _ in range(cfg.stage_num):
@@ -665,56 +1017,98 @@ class StreamDenoiser:
         # batch, every step runs inside shard_map with the batch sharded
         # over 'data' — N chips each advance their streams' pipelines, and
         # the Pallas kernels stay engaged per-shard (GSPMD cannot partition
-        # custom calls). Single-stream spatial scaling uses the MIMO
-        # spatial path (parallel/spatial.py) via push_block-sized chunks
-        # instead; per-frame spatial streaming is not sharded.
+        # custom calls). SINGLE-STREAM scaling: a 'spatial' mesh axis shards
+        # the frame ROWS — each shard holds the halo-extended row block of
+        # every carried buffer and the step gathers each stage's cheap
+        # narrow-channel input over ICI (parallel/spatial.py
+        # stream_local_step; the reference has no single-stream multi-GPU
+        # streaming at all — its DP scatters whole frames,
+        # BasicSR/basicsr/models/base_model.py:62-76).
         self.mesh = None
+        self._spatial = None
+        self._batch_axis = None
         if mesh is not None:
             shape = dict(mesh.shape)
-            if (shape.get('data', 1) > 1 and shape.get('spatial', 1) == 1
-                    and batch % shape['data'] == 0):
+            n_sp = shape.get('spatial', 1)
+            n_dat = shape.get('data', 1)
+            batch_rides = n_dat > 1 and batch % n_dat == 0
+            if n_sp > 1:
+                from bsvd_tpu.parallel.spatial import (stage_halo,
+                                                       stream_spatial_ok)
+                if stream_spatial_ok(cfg, height, mesh):
+                    self.mesh = mesh
+                    self._spatial = {'n_sp': n_sp, 'halo': stage_halo(cfg),
+                                     'h_local': height // n_sp}
+                    # batch shards over 'data' when it divides; otherwise
+                    # it replicates there (N=1 single-stream serving)
+                    self._batch_axis = 'data' if batch_rides else None
+            elif batch_rides:
                 self.mesh = mesh
+                self._batch_axis = 'data'
 
-        def _wrap(fn):
-            """shard_map the (params, state, frame) -> (state, out) step over
-            the stream batch when a mesh is configured."""
+        def _wrap(fn, frame_spec=None):
+            """shard_map the (params, state, frame) -> (state, out) step
+            over the configured mesh axes."""
             if self.mesh is None:
                 return fn
             import functools
             from jax.sharding import PartitionSpec as P
             from bsvd_tpu.parallel.mesh import get_shard_map
             shard_map, relax = get_shard_map()
-            sspec = stream_state_specs(cfg)
+            row_axis = 'spatial' if self._spatial else None
+            sspec = stream_state_specs(cfg, self._batch_axis, row_axis)
+            fspec = frame_spec or P(self._batch_axis, row_axis)
             return functools.partial(
                 shard_map, mesh=self.mesh,
-                in_specs=(P(), sspec, P('data')),
-                out_specs=(sspec, P('data')), **relax)(fn)
+                in_specs=(P(), sspec, fspec),
+                out_specs=(sspec, fspec), **relax)(fn)
+
+        if self._spatial is None:
+            def mk_step(valid, filled):
+                return lambda p, s, f: stream_step(p, s, f, valid, cfg,
+                                                   assume_filled=filled)[:2]
+        else:
+            from bsvd_tpu.parallel.spatial import stream_local_step
+
+            def mk_step(valid, filled):
+                def local(p, s, f):
+                    ns, out, _ = stream_local_step(p, s, f, cfg, height,
+                                                   'spatial', valid, filled)
+                    return ns, out
+                return local
 
         # three compiled variants: fill (traced masking), steady state
         # (mask-free: every buffer primed, input always valid), drain
-        self._step_fill = jax.jit(
-            _wrap(lambda p, s, f: stream_step(p, s, f, True, cfg)[:2]),
-            donate_argnums=(1,))
-        self._step_steady = jax.jit(
-            _wrap(lambda p, s, f: stream_step(p, s, f, True, cfg,
-                                              assume_filled=True)[:2]),
-            donate_argnums=(1,))
-        self._step_drain = jax.jit(
-            _wrap(lambda p, s, f: stream_step(p, s, f, False, cfg)[:2]),
-            donate_argnums=(1,))
+        self._step_fill = jax.jit(_wrap(mk_step(True, False)),
+                                  donate_argnums=(1,))
+        self._step_steady = jax.jit(_wrap(mk_step(True, True)),
+                                    donate_argnums=(1,))
+        self._step_drain = jax.jit(_wrap(mk_step(False, False)),
+                                   donate_argnums=(1,))
         self._wrap = _wrap
-        self._block_steps = {}      # (F, steady) -> jitted scan (push_block)
+        self._mk_step = mk_step
+        self._block_steps = {}      # (F, steady) -> jitted block step
         self.reset()
 
     def reset(self):
         n, h, w = self._shape
-        self.state = stream_init(self.cfg, n, h, w, self.dtype)
+        if self._spatial is not None:
+            # per-shard HALO-EXTENDED state, laid out as one global array
+            # whose 'spatial' shards are the extended blocks (content is
+            # all zeros at init, so the tiling is trivially consistent)
+            sp = self._spatial
+            h_state = sp['n_sp'] * (sp['h_local'] + 2 * sp['halo'])
+            self.state = stream_init(self.cfg, n, h_state, w, self.dtype)
+        else:
+            self.state = stream_init(self.cfg, n, h, w, self.dtype)
         if self.mesh is not None:
             # place state (and params) on the mesh up front so the first
             # step does not pay a resharding copy
             from jax.sharding import NamedSharding, PartitionSpec as P
+            row_axis = 'spatial' if self._spatial else None
             flat, treedef = jax.tree.flatten(self.state)
-            specs = treedef.flatten_up_to(stream_state_specs(self.cfg))
+            specs = treedef.flatten_up_to(
+                stream_state_specs(self.cfg, self._batch_axis, row_axis))
             self.state = jax.tree.unflatten(treedef, [
                 jax.device_put(a, NamedSharding(self.mesh, sp))
                 for a, sp in zip(flat, specs)])
@@ -762,28 +1156,34 @@ class StreamDenoiser:
         blk = self._block_steps.get(key)
         if blk is None:
             cfg = self.cfg
+            height = self._shape[1]
 
-            def run(p, s, fr):
-                def body(carry, frame):
-                    new_c, out, _ = stream_step(p, carry, frame, True, cfg,
-                                                assume_filled=steady)
-                    return new_c, out
-                return lax.scan(body, s, fr)
+            if steady and self._spatial is not None:
+                from bsvd_tpu.parallel.spatial import stream_local_step_block
 
-            if self.mesh is None:
-                wrapped = run
+                def run(p, s, fr):
+                    return stream_local_step_block(p, s, fr, cfg, height,
+                                                   'spatial')
+            elif steady:
+                # steady state: the F-frame block step — every temporal conv
+                # one weight-shared multi-frame kernel, stems/ups the NT=F
+                # MIMO kernels (whole-clip kernel throughput)
+                def run(p, s, fr):
+                    return stream_step_block(p, s, fr, cfg)
             else:
-                # frames are (F, N, H, W, C): batch on axis 1
-                import functools
-                from jax.sharding import PartitionSpec as P
-                from bsvd_tpu.parallel.mesh import get_shard_map
-                shard_map, relax = get_shard_map()
-                sspec = stream_state_specs(cfg)
-                wrapped = functools.partial(
-                    shard_map, mesh=self.mesh,
-                    in_specs=(P(), sspec, P(None, 'data')),
-                    out_specs=(sspec, P(None, 'data')), **relax)(run)
-            blk = jax.jit(wrapped, donate_argnums=(1,))
+                # fill: scanned per-frame steps with validity masking
+                step1 = self._mk_step(True, False)
+
+                def run(p, s, fr):
+                    def body(carry, frame):
+                        return step1(p, carry, frame)
+                    return lax.scan(body, s, fr)
+
+            from jax.sharding import PartitionSpec as P
+            row_axis = 'spatial' if self._spatial else None
+            fspec = P(None, self._batch_axis, row_axis)
+            blk = jax.jit(self._wrap(run, frame_spec=fspec),
+                          donate_argnums=(1,))
             self._block_steps[key] = blk
         self.state, outs = blk(self.params, self.state, frames)
         res = []

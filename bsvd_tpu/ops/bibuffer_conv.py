@@ -420,6 +420,207 @@ def bibuffer_chain_reference(x, s1, s2, w1, b1, w2, b2, fold_div=8,
     return y2, s1n, s2n
 
 
+# ---------------------------------------------------------------------------
+# multi-frame streaming step (F >= 1): weight-shared micro-batch
+# ---------------------------------------------------------------------------
+#
+# With the PACKED buffer state B = [left, center[f:]], the state recurrence
+# is pure lane slices of the inputs: B_{i+1} = [B_i[f:2f], x_i[f:]], so for
+# i >= 2 the conv input collapses to the MIMO temporal-shift pattern
+#     inp_i = [x_i[:f], x_{i-2}[f:2f], x_{i-1}[2f:]]
+# and the whole F-frame advance is the frame-minor MIMO shift kernel over a
+# virtual sequence Z = [z0, z1, x_0..x_{F-1}] where z0/z1 carry B's lanes
+# (z0[f:2f] = B[:f]; z1 = B), evaluated at positions 1..F with NO clip-
+# boundary masking. One kernel loads the weights ONCE for all F frames —
+# this closes the NT=1 kernel's per-frame DMA-prologue overhead (PERF.md
+# round-5 headroom 3). Causal: Z = [B, x] and inp_i = [x_{i-1}[:2f],
+# x_i[2f:]] (reference semantics: bsvd_arch.py:53-114 / temporal_shift.py:46,
+# advanced F frames at a time).
+
+
+def _pick_bh_multi(h, w, c, cout, itemsize=2, vmem_budget=15 * 1024 * 1024):
+    c_pad = -(-c // 128) * 128
+    cout_pad = -(-cout // 128) * 128
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
+                     reverse=True):
+        tile = (bh + 2) * (w + 2 * _COL0) * c_pad * itemsize
+        acc = bh * w * cout_pad * 4
+        out = 2 * bh * w * (cout_pad + c_pad) * itemsize
+        wts = 9 * c_pad * cout_pad * itemsize + cout_pad * 4
+        total = int((4 + 2.5) * tile) + 2 * acc + out + 2 * wts
+        if total <= vmem_budget and bh * w >= 512:
+            return bh
+    return None
+
+
+def _kernel_bibuf_multi(x_hbm, s_hbm, w_ref, b_ref, y_ref, bn_ref, ring, sems,
+                        *, nf, bh, h, w, c, cout, fold, act, causal):
+    hb = pl.program_id(0)
+    t = pl.program_id(1)
+    nhb = pl.num_programs(0)
+    ns = 1 if causal else 2          # state frames prepended to the sequence
+    row0 = hb * bh
+
+    def dmas(src, slot):
+        return halo_row_dmas(src, ring.at[slot, 0], sems, (slot, 0),
+                             row0, bh, h, w)
+
+    def fix(slot):
+        zero_halo(ring, slot, 0, hb, nhb, bh, w, c)
+
+    @pl.when(t == 0)
+    def _():
+        # prologue: the packed state B verbatim into the ns virtual-frame
+        # slots + x[0]; wait the state frames, leave x[0] in flight for the
+        # common wait below. Slot 0 (bidir) nominally holds z0 with
+        # z0[f:2f] = B[:f] — instead of materializing that roll in HBM
+        # (measured 2.0 ms/frame of XLA roll+concat at the 540p sites), B
+        # is DMAed as-is and the t == 0 assembly reads the past slice at
+        # lanes [:f] via a lane-offset select.
+        for k in range(ns):
+            for d in dmas(s_hbm.at[0], k % 4):
+                d.start()
+        for d in dmas(x_hbm.at[0], ns % 4):
+            d.start()
+        for k in range(ns):
+            for d in dmas(s_hbm.at[0], k % 4):
+                d.wait()
+            fix(k % 4)
+
+    @pl.when(t + 1 < nf)
+    def _():                          # Z_{t+ns+1} = x[t+1], one in flight
+        for d in dmas(x_hbm.at[t + 1], (t + ns + 1) % 4):
+            d.start()
+
+    for d in dmas(x_hbm.at[t], (t + ns) % 4):   # wait Z_{t+ns} = x[t]
+        d.wait()
+    fix((t + ns) % 4)
+
+    # output position p = t + 1 over Z: cur = Z_{t+1}, past = Z_t,
+    # future = Z_{t+2} (bidirectional) — no boundary masking: the block is
+    # interior by construction (state supplies the past, x[t] the future)
+    zt = ring[t % 4, 0]
+    z1 = ring[(t + 1) % 4, 0]
+    if causal:
+        tile = jnp.concatenate([zt[:, :, :2 * fold], z1[:, :, 2 * fold:]],
+                               axis=-1)
+    else:
+        z2 = ring[(t + 2) % 4, 0]
+        # past slice: Z_t[f:2f]; at t == 0 slot 0 holds B verbatim, whose
+        # carried past lives at lanes [:f] (see the prologue note)
+        past = jnp.where(t == 0, zt[:, :, :fold], zt[:, :, fold:2 * fold])
+        tile = jnp.concatenate([z2[:, :, :fold], past,
+                                z1[:, :, 2 * fold:]], axis=-1)
+    a = dots9(tile, w_ref, b_ref, bh, w, _COL0, act)
+    y_ref[...] = a.astype(y_ref.dtype)[None]
+
+    @pl.when(t == nf - 1)
+    def _():
+        # next packed state: [x_{F-2}[f:2f], x_{F-1}[f:]] = [Z_{nf}[f:2f],
+        # Z_{nf+1}[f:]] (bidir); causal: the last frame verbatim
+        zl = ring[(t + 1) % 4, 0]
+        if causal:
+            bn_ref[...] = zl[1:bh + 1, _COL0:_COL0 + w, :][None]
+        else:
+            zf = ring[(t + 2) % 4, 0]
+            bn_ref[...] = jnp.concatenate(
+                [zl[1:bh + 1, _COL0:_COL0 + w, fold:2 * fold],
+                 zf[1:bh + 1, _COL0:_COL0 + w, fold:]], axis=-1)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('fold_div', 'act', 'bh', 'causal',
+                                    'interpret'))
+def bibuffer_multi_pallas(x, state, w, b, *, fold_div=8, act='relu6', bh=None,
+                          causal=False, interpret=False):
+    """Advance one streaming BiBufferConv by F frames in ONE kernel.
+
+    Exactly F sequential ``bibuffer_conv_pallas`` steps (same packed-state
+    protocol), but the weights are DMAed once and the frame-minor ring
+    pipeline amortizes the per-frame prologue — MIMO-kernel throughput for
+    streaming blocks (StreamDenoiser.push_block).
+
+    Args:
+        x: (F, H, W, C) stacked live frames; state: (1, H, W, C) packed
+            buffer ``[left, center[f:]]`` (causal: the previous frame).
+        w: (3, 3, C, Cout); b: (Cout,).
+    Returns:
+        (y (F, H, W, Cout), new_state (1, H, W, C)).
+    """
+    from bsvd_tpu.ops.conv3x3 import check_act
+    check_act(act)
+    nf, h, w_, c = x.shape
+    cout = w.shape[-1]
+    fold = c // fold_div
+    if bh is None:
+        bh = _pick_bh_multi(h, w_, c, cout, jnp.dtype(x.dtype).itemsize)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+
+    kern = functools.partial(_kernel_bibuf_multi, nf=nf, bh=bh, h=h, w=w_,
+                             c=c, cout=cout, fold=fold, act=act,
+                             causal=causal)
+    return pl.pallas_call(
+        kern,
+        grid=(nhb, nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bh, w_, cout), lambda hb, t: (t, hb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, w_, c), lambda hb, t: (0, hb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nf, h, w_, cout), x.dtype),
+            jax.ShapeDtypeStruct((1, h, w_, c), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 1, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((4, 1, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=2 * 9 * c * cout * h * w_ * nf,
+                                      bytes_accessed=x.size * 2 * 2,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(x, state, w, b.reshape(1, cout))
+
+
+def bibuffer_multi_reference(x, state, w, b, fold_div=8, act='relu6',
+                             causal=False):
+    """XLA composite with identical semantics: F sequential streaming steps
+    (oracle + CPU fallback)."""
+    def body(s, xi):
+        y, sn = bibuffer_conv_reference(xi[None], s, w, b, fold_div, act,
+                                        causal)
+        return sn, y[0]
+    sn, ys = lax.scan(body, state, x)
+    return ys, sn
+
+
+def bibuffer_multi_supported(x_shape, w_shape, dtype):
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nf, h, w_, c = x_shape
+    if nf < 1 or w_shape[0] != 3 or w_shape[1] != 3 or c % 128 != 0:
+        return False
+    return _pick_bh_multi(h, w_, c, w_shape[-1],
+                          jnp.dtype(dtype).itemsize) is not None
+
+
 def bibuffer_chain_supported(x_shape, w1_shape, w2_shape, dtype):
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):

@@ -62,6 +62,52 @@ def run_sharded_train_step(mesh, seed=0, cfg=None):
     return loss
 
 
+def run_sharded_stream_step(mesh, seed=0, cfg=None):
+    """Spatially-sharded SINGLE-STREAM streaming (StreamDenoiser with the
+    frame rows sharded over the mesh's 'spatial' axis — parallel/spatial.py
+    stream_local_step; the reference has no single-stream multi-GPU
+    streaming at all, its DP scatters whole frames,
+    BasicSR/basicsr/models/base_model.py:62-76). Pushes a clip through
+    fill + steady per-frame + steady block + drain and returns the max abs
+    deviation from the single-device client (must be fp-noise)."""
+    from bsvd_tpu.archs.streaming import StreamDenoiser
+    from bsvd_tpu.archs.wnet_arch import WNetConfig, wnet_init
+
+    if cfg is None:
+        cfg = WNetConfig(chns=(64, 128, 256), mid_ch=64, interm_ch=64,
+                         norm='none', act='relu6', shift_mode='TSM')
+    params = wnet_init(jax.random.PRNGKey(seed), cfg)
+    n_sp = dict(mesh.shape).get('spatial', 1)
+    n, h, w = 1, max(16, 4 * n_sp), 16
+    rng = np.random.default_rng(seed)
+    sd_ref = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    sd_sp = StreamDenoiser(params, cfg, batch=n, height=h, width=w,
+                           mesh=mesh)
+    assert sd_sp.mesh is not None, 'spatial streaming gate rejected the mesh'
+    t = sd_ref.latency + 4
+    x = jnp.asarray(rng.uniform(0, 1, (t, n, h, w, cfg.effective_in_ch)),
+                    jnp.float32)
+    outs_ref, outs_sp = [], []
+    for i in range(t - 2):
+        a, b = sd_ref.push(x[i]), sd_sp.push(x[i])
+        if a is not None:
+            outs_ref.append(np.asarray(a))
+        if b is not None:
+            outs_sp.append(np.asarray(b))
+    for o in sd_ref.push_block(x[t - 2:]):
+        if o is not None:
+            outs_ref.append(np.asarray(o))
+    for o in sd_sp.push_block(x[t - 2:]):
+        if o is not None:
+            outs_sp.append(np.asarray(o))
+    outs_ref.extend(np.asarray(o) for o in sd_ref.flush())
+    outs_sp.extend(np.asarray(o) for o in sd_sp.flush())
+    assert len(outs_ref) == len(outs_sp) == t
+    dev = float(np.abs(np.stack(outs_sp) - np.stack(outs_ref)).max())
+    assert dev < 1e-4, f'sharded streaming deviates from single-device: {dev}'
+    return dev
+
+
 def run_sharded_eval(mesh, seed=0, cfg=None):
     """Spatially-sharded whole-clip denoise_seq over ``mesh`` (the shard_map
     + halo-exchange path that keeps the Pallas kernels per-shard,

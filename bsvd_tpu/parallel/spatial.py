@@ -118,6 +118,119 @@ def _local_forward(params, x_local, cfg, h_global, axis_name):
     return x_local
 
 
+# ---------------------------------------------------------------------------
+# spatially-sharded SINGLE-STREAM streaming (StreamDenoiser on a spatial mesh)
+# ---------------------------------------------------------------------------
+#
+# Same halo-recompute design as the MIMO path above, applied to the carried
+# streaming state: each device holds the HALO-EXTENDED row block of every
+# buffer/ring (h_local + 2*halo rows — garbage grows inward through a stage
+# exactly as in the extended MIMO block, so the center h_local rows stay
+# exact frame after frame), and each stage gathers its cheap narrow-channel
+# input over ICI, slices its extended block, runs the full fused stage step
+# per shard with the row-validity mask, and crops. The reference has no
+# single-stream multi-GPU streaming at all (its DP scatters whole frames:
+# BasicSR/basicsr/models/base_model.py:62-76).
+
+
+def _stream_row_mask(s_ext, h_global):
+    """Row-validity hook for the extended streaming block (same protocol as
+    _local_forward's mask): zero rows outside the global image at each
+    resolution level; identity on interior shards. Works for any (..., H,
+    W, C) rank (H at axis -3)."""
+    def mask(v, level):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (v.shape[-3], 1, 1), 0)
+        gidx = rows + s_ext // level
+        valid = (gidx >= 0) & (gidx < h_global // level)
+        return jnp.where(valid, v, jnp.zeros((), v.dtype))
+    return mask
+
+
+def stream_spatial_ok(cfg, h, mesh):
+    """True when spatially-sharded streaming handles (cfg, H, mesh): the
+    mask protocol needs norm-free convs and both stride-2 grids aligned
+    per shard (H % (4 * n_spatial) == 0; halo is a multiple of 4)."""
+    return spatial_ok(cfg, h, mesh)
+
+
+def stream_local_step(params, state, x_local, cfg, h_global, axis_name,
+                      valid=True, assume_filled=False):
+    """One streaming frame, per-shard (runs INSIDE shard_map).
+
+    Args:
+        x_local: (N, h_local, W, C_in) — this shard's rows of the frame.
+        state: per-shard HALO-EXTENDED streaming state
+            (stream_init at h_local + 2*halo rows).
+    Returns (new_state, out_local (N, h_local, W, out_ch), out_valid).
+    """
+    from bsvd_tpu.archs.streaming import (_fold2s, _stage_stream_step,
+                                          _unfold2s)
+    from bsvd_tpu.archs.wnet_arch import fold_gate
+    from bsvd_tpu.nn.layers import get_act
+
+    act = get_act(cfg.act)
+    if not isinstance(valid, bool):
+        valid = jnp.asarray(valid, jnp.bool_)
+    n, h_local, w_, _ = x_local.shape
+    halo = stage_halo(cfg)
+    d = jax.lax.axis_index(axis_name)
+    mask = _stream_row_mask(d * h_local - halo, h_global)
+    fold_io = fold_gate(cfg, w_)
+    if fold_io:
+        x_local = _fold2s(x_local)
+    new_state = []
+    for i in range(cfg.stage_num):
+        # stage input is the narrow-channel point: gather it whole over
+        # ICI, slice this shard's halo-extended block (zero rows past the
+        # global edges; the mask keeps them zero through the stage)
+        full = jax.lax.all_gather(x_local, axis_name, axis=1, tiled=True)
+        padded = jnp.pad(full, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+        x_ext = jax.lax.dynamic_slice_in_dim(
+            padded, d * h_local, h_local + 2 * halo, axis=1)
+        st, y_ext, valid = _stage_stream_step(
+            params[f'stage{i}'], state[i], x_ext, valid, cfg, act,
+            assume_filled, fold_io=fold_io, mask=mask)
+        new_state.append(st)
+        x_local = y_ext[:, halo:halo + h_local]
+    if fold_io:
+        x_local = _unfold2s(x_local)
+    return new_state, x_local, valid
+
+
+def stream_local_step_block(params, state, xs_local, cfg, h_global,
+                            axis_name):
+    """F-frame steady-state streaming block, per-shard (INSIDE shard_map).
+    xs_local: (F, N, h_local, W, C_in). Mirrors stream_local_step with the
+    multi-frame block step (archs/streaming.stream_step_block)."""
+    from bsvd_tpu.archs.streaming import _stage_stream_step_block
+    from bsvd_tpu.archs.wnet_arch import fold_gate
+    from bsvd_tpu.nn.layers import get_act
+
+    act = get_act(cfg.act)
+    f, n, h_local, w_, c = xs_local.shape
+    halo = stage_halo(cfg)
+    d = jax.lax.axis_index(axis_name)
+    mask = _stream_row_mask(d * h_local - halo, h_global)
+    fold_io = fold_gate(cfg, w_)
+    if fold_io:
+        xs_local = xs_local.reshape(f, n, h_local, w_ // 2, 2 * c)
+    new_state = []
+    for i in range(cfg.stage_num):
+        full = jax.lax.all_gather(xs_local, axis_name, axis=2, tiled=True)
+        padded = jnp.pad(full, ((0, 0),) * 2 + ((halo, halo),) + ((0, 0),) * 2)
+        x_ext = jax.lax.dynamic_slice_in_dim(
+            padded, d * h_local, h_local + 2 * halo, axis=2)
+        st, y_ext = _stage_stream_step_block(
+            params[f'stage{i}'], state[i], x_ext, cfg, act,
+            fold_io=fold_io, mask=mask)
+        new_state.append(st)
+        xs_local = y_ext[:, :, halo:halo + h_local]
+    if fold_io:
+        fb, nb, hb, wb, cb = xs_local.shape
+        xs_local = xs_local.reshape(fb, nb, hb, wb * 2, cb // 2)
+    return new_state, xs_local
+
+
 def wnet_apply_spatial(params, x, cfg, mesh):
     """MIMO forward with H sharded over the mesh's 'spatial' axis, fused
     kernels kept per-shard. x: (N, T, H, W, C) -> (N, T, H, W, out_ch).

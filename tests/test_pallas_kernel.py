@@ -371,6 +371,29 @@ def test_bibuffer_chain_interpret(causal):
                                    rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
 
 
+@pytest.mark.parametrize('causal', [False, True])
+@pytest.mark.parametrize('nf', [1, 2, 5])
+def test_bibuffer_multi_interpret(nf, causal):
+    """Weight-shared F-frame streaming advance
+    (ops/bibuffer_conv.bibuffer_multi_pallas) == F sequential reference
+    steps — outputs and the final packed state, both modes, incl. F=1."""
+    from bsvd_tpu.ops.bibuffer_conv import (bibuffer_multi_pallas,
+                                            bibuffer_multi_reference)
+    rng = np.random.default_rng(54)
+    H, W, C, CO = 12, 16, 16, 24
+    x = jnp.asarray(rng.standard_normal((nf, H, W, C)), jnp.float32)
+    st = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, CO)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ry, rs = bibuffer_multi_reference(x, st, w, b, act='relu6', causal=causal)
+    for bh in (3, 6):
+        gy, gs = bibuffer_multi_pallas(x, st, w, b, act='relu6', bh=bh,
+                                       causal=causal, interpret=True)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
+
+
 def test_bibuffer_conv_causal_interpret():
     from bsvd_tpu.ops.bibuffer_conv import (bibuffer_conv_pallas,
                                             bibuffer_conv_reference)

@@ -291,8 +291,8 @@ def test_stream_denoiser_mesh_multi_stream():
 
 
 def test_stream_denoiser_mesh_gate():
-    """Meshes the stream batch cannot ride (spatial axis, non-dividing
-    batch) fall back to single-device stepping."""
+    """Meshes the streaming step cannot ride (non-dividing batch, row
+    misalignment) fall back to single-device stepping."""
     from bsvd_tpu.parallel.mesh import make_mesh
 
     cfg = _cfg()
@@ -300,9 +300,52 @@ def test_stream_denoiser_mesh_gate():
     sd = StreamDenoiser(params, cfg, batch=3, height=16, width=16,
                         mesh=make_mesh(8, spatial=1))
     assert sd.mesh is None              # 3 streams don't divide 8
-    sd = StreamDenoiser(params, cfg, batch=8, height=16, width=16,
-                        mesh=make_mesh(8, spatial=2))
-    assert sd.mesh is None              # spatial meshes: not this path
+    sd = StreamDenoiser(params, cfg, batch=1, height=20, width=16,
+                        mesh=make_mesh(8, spatial=8))
+    assert sd.mesh is None              # 20 rows don't align to 4*8 shards
+
+
+def test_stream_denoiser_mesh_spatial_single_stream():
+    """SINGLE-STREAM multi-chip streaming: a 'spatial' mesh axis shards the
+    frame rows; each shard advances the halo-extended block of every
+    carried buffer (parallel/spatial.py stream_local_step). Outputs match
+    the single-device client through fill, steady state, push_block and
+    drain — the one parallelism surface the reference cannot shard at all
+    (its DP scatters whole frames, base_model.py:62-76)."""
+    from bsvd_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    params = wnet_init(jax.random.PRNGKey(0), cfg)
+    t, n, h, w = 22, 1, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(5), (n, t, h, w, 4),
+                          jnp.float32)
+
+    sd_ref = StreamDenoiser(params, cfg, batch=n, height=h, width=w)
+    mesh = make_mesh(8, spatial=2)      # 4 data x 2 spatial; batch 1 -> rows
+    sd_sp = StreamDenoiser(params, cfg, batch=n, height=h, width=w,
+                           mesh=mesh)
+    assert sd_sp.mesh is not None and sd_sp._spatial is not None
+
+    outs_ref, outs_sp = [], []
+    for i in range(t - 4):
+        a, b = sd_ref.push(x[:, i]), sd_sp.push(x[:, i])
+        if a is not None:
+            outs_ref.append(np.asarray(a))
+        if b is not None:
+            outs_sp.append(np.asarray(b))
+    blk_frames = jnp.moveaxis(x[:, t - 4:], 1, 0)
+    for o in sd_ref.push_block(blk_frames):
+        if o is not None:
+            outs_ref.append(np.asarray(o))
+    for o in sd_sp.push_block(blk_frames):
+        if o is not None:
+            outs_sp.append(np.asarray(o))
+    outs_ref.extend(np.asarray(o) for o in sd_ref.flush())
+    outs_sp.extend(np.asarray(o) for o in sd_sp.flush())
+
+    assert len(outs_ref) == len(outs_sp) == t
+    np.testing.assert_allclose(np.stack(outs_sp, 1), np.stack(outs_ref, 1),
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize('t,psz,future', [
