@@ -147,6 +147,148 @@ bool decode_any(const unsigned char* data, size_t len, std::vector<unsigned char
   return false;
 }
 
+// ---------------------------------------------------------------------------
+// ROI decode: decode ONLY the crop window (training crops are 96x96 from
+// 480p+ frames — full-frame decode wastes >95% of the IDCT / defilter work).
+// JPEG uses libjpeg-turbo's partial-image API (jpeg_crop_scanline restricts
+// the column range to iMCU-aligned bounds; jpeg_skip_scanlines skips the
+// IDCT + color conversion of rows above/below). PNG streams rows and stops
+// after the last needed one (rows above the window still defilter —
+// inherent to PNG). Writes (ch, cw, 3) RGB8 rows at dst (stride cw*3).
+// ---------------------------------------------------------------------------
+
+bool decode_jpeg_roi(const unsigned char* data, size_t len, int y0, int x0,
+                     int ch, int cw, unsigned char* dst) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  std::vector<unsigned char> rowbuf;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (y0 < 0 || x0 < 0 ||
+      static_cast<JDIMENSION>(y0 + ch) > cinfo.output_height ||
+      static_cast<JDIMENSION>(x0 + cw) > cinfo.output_width) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // restrict columns; the library aligns the window outward to iMCU
+  // bounds. Widen the request by one iMCU on each side first: the fancy
+  // upsampler needs the neighboring chroma column, so the edge columns of
+  // a tight window would differ from a full decode on subsampled sources.
+  const int imcu_w = cinfo.max_h_samp_factor * DCTSIZE;
+  const int wx0 = x0 < imcu_w ? 0 : x0 - imcu_w;
+  const int wx1 = (x0 + cw + imcu_w > static_cast<int>(cinfo.output_width))
+                      ? static_cast<int>(cinfo.output_width)
+                      : x0 + cw + imcu_w;
+  JDIMENSION xoff = wx0, xw = wx1 - wx0;
+  jpeg_crop_scanline(&cinfo, &xoff, &xw);
+  rowbuf.resize(static_cast<size_t>(xw) * cinfo.output_components);
+  // jpeg_skip_scanlines drops the fancy-upsampler's cross-row chroma
+  // context at the skip boundary (first rows after a skip differ on
+  // 4:2:0 sources) — skip only to ONE iMCU row before the target and
+  // decode-and-discard the rest, which rebuilds the context exactly.
+  const int imcu = cinfo.max_v_samp_factor * DCTSIZE;
+  const int skip = y0 <= imcu ? 0 : (y0 / imcu - 1) * imcu;
+  if (skip > 0) jpeg_skip_scanlines(&cinfo, skip);
+  for (int y = skip; y < y0; ++y) {
+    unsigned char* row = rowbuf.data();
+    if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+  }
+  const size_t col_off = static_cast<size_t>(x0 - xoff) * 3;
+  for (int r = 0; r < ch; ++r) {
+    unsigned char* row = rowbuf.data();
+    if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    memcpy(dst + static_cast<size_t>(r) * cw * 3, rowbuf.data() + col_off,
+           static_cast<size_t>(cw) * 3);
+  }
+  jpeg_abort_decompress(&cinfo);  // rows below the window are never decoded
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png_roi(const unsigned char* data, size_t len, int y0, int x0,
+                    int ch, int cw, unsigned char* dst) {
+  if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadState st{data, len, 0};
+  png_set_read_fn(png, &st, png_read_fn);
+  png_read_info(png, info);
+  if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+    // interlaced rows arrive out of order — caller falls back to full decode
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_set_strip_16(png);
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_strip_alpha(png);
+  const int color = png_get_color_type(png, info);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA) {
+    png_set_gray_to_rgb(png);
+  }
+  png_read_update_info(png, info);
+  const int h = png_get_image_height(png, info);
+  const int w = png_get_image_width(png, info);
+  if (y0 < 0 || x0 < 0 || y0 + ch > h || x0 + cw > w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  std::vector<unsigned char> rowbuf(png_get_rowbytes(png, info));
+  for (int y = 0; y < y0 + ch; ++y) {
+    png_read_row(png, rowbuf.data(), nullptr);
+    if (y >= y0) {
+      memcpy(dst + static_cast<size_t>(y - y0) * cw * 3,
+             rowbuf.data() + static_cast<size_t>(x0) * 3,
+             static_cast<size_t>(cw) * 3);
+    }
+  }
+  // skip png_read_end: rows below the window are never defiltered
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_any_roi(const unsigned char* data, size_t len, int y0, int x0,
+                    int ch, int cw, unsigned char* dst) {
+  if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8 && data[2] == 0xFF) {
+    return decode_jpeg_roi(data, len, y0, x0, ch, cw, dst);
+  }
+  if (len >= 8 && !png_sig_cmp(data, 0, 8)) {
+    return decode_png_roi(data, len, y0, x0, ch, cw, dst);
+  }
+  return false;
+}
+
 bool read_file(const char* path, std::vector<unsigned char>* buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -275,8 +417,22 @@ int bsvd_load_crop_seq(const char** paths, int t, int y0, int x0, int ch,
   for (int i = 0; i < t; ++i) {
     auto job = [&, i] {
       std::vector<unsigned char> buf, img;
+      if (!read_file(paths[i], &buf)) {
+        status[i] = 1;
+        latch.Done();
+        return;
+      }
+      unsigned char* dst = out + static_cast<size_t>(i) * ch * cw * 3;
+      // window decode: only the crop region's rows/columns pass through
+      // IDCT (JPEG) / defiltering (PNG) — full-frame decode for a 96x96
+      // training crop wastes >95% of the decode work
+      if (decode_any_roi(buf.data(), buf.size(), y0 < 0 ? 0 : y0,
+                         x0 < 0 ? 0 : x0, ch, cw, dst)) {
+        latch.Done();
+        return;
+      }
       int h = 0, w = 0;
-      if (!read_file(paths[i], &buf) || !decode_any(buf.data(), buf.size(), &img, &h, &w)) {
+      if (!decode_any(buf.data(), buf.size(), &img, &h, &w)) {
         status[i] = 1;
         latch.Done();
         return;
@@ -288,7 +444,6 @@ int bsvd_load_crop_seq(const char** paths, int t, int y0, int x0, int ch,
         latch.Done();
         return;
       }
-      unsigned char* dst = out + static_cast<size_t>(i) * ch * cw * 3;
       for (int r = 0; r < ch; ++r) {
         memcpy(dst + static_cast<size_t>(r) * cw * 3,
                img.data() + (static_cast<size_t>(yy + r) * w + xx) * 3,

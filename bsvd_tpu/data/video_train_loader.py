@@ -55,29 +55,64 @@ class _ClipIndex:
                     self.entries.append((path, 'video', n))
         if not self.entries:
             raise IOError(f'no video files or frame folders under {root}')
+        self._dims = {}                  # path -> (H, W) (frame folders)
+        self._tls = threading.local()    # per-worker persistent cv2 handles
+
+    def _frame_dims(self, path, files):
+        """Cached (H, W) of a frame folder (one header probe per clip)."""
+        dims = self._dims.get(path)
+        if dims is None:
+            from bsvd_tpu.data import native_decode
+            dims = native_decode.image_dims(files[0])
+            if dims is None:
+                img = cv2.imread(files[0])
+                if img is None:
+                    raise IOError(f'decode failed for {files[0]}')
+                dims = img.shape[:2]
+            self._dims[path] = dims
+        return dims
+
+    def _capture(self, path):
+        """Per-worker persistent VideoCapture (re-opening + container probe
+        per sample measured ~40% of the mp4 path's time)."""
+        caps = getattr(self._tls, 'caps', None)
+        if caps is None:
+            caps = self._tls.caps = {}
+        cap = caps.get(path)
+        if cap is None or not cap.isOpened():
+            cap = caps[path] = cv2.VideoCapture(path)
+        return cap
 
     def sample(self, rng, seq_len, crop_hw):
-        """Pick a random window: returns (T, H, W, 3) uint8 RGB."""
+        """Pick a random window: returns (T, ch, cw, 3) uint8 RGB."""
         path, kind, n = self.entries[rng.integers(len(self.entries))]
         if n < seq_len:
             raise IOError(f'clip {path} shorter ({n}) than temp_patch_size {seq_len}')
         start = int(rng.integers(0, n - seq_len + 1))
+        ch, cw = crop_hw
         if kind == 'frames':
             files = get_imagenames(path)[start:start + seq_len]
-            seq = None
             if _use_native():
                 from bsvd_tpu.data import native_decode
-                seq = native_decode.load_crop_seq(files)
-            if seq is None:
-                frames = []
-                for f in files:
-                    img = cv2.imread(f)
-                    if img is None:            # truncated/corrupt frame
-                        raise IOError(f'decode failed for {f}')
-                    frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-                seq = np.stack(frames)
+                # crop INSIDE the decoder: only the window's rows/columns
+                # pass through IDCT/defilter (ROI decode, decoder.cpp)
+                h, w = self._frame_dims(path, files)
+                if h < ch or w < cw:
+                    raise IOError(f'clip {path} smaller than crop {crop_hw}')
+                y0 = int(rng.integers(0, h - ch + 1))
+                x0 = int(rng.integers(0, w - cw + 1))
+                seq = native_decode.load_crop_seq(files, y0, x0, ch, cw)
+                if seq is not None:
+                    return seq
+            frames = []
+            for f in files:
+                img = cv2.imread(f)
+                if img is None:            # truncated/corrupt frame
+                    raise IOError(f'decode failed for {f}')
+                frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            seq = np.stack(frames)
         else:
-            cap = cv2.VideoCapture(path)
+            cap = self._capture(path)
             cap.set(cv2.CAP_PROP_POS_FRAMES, start)
             frames = []
             for _ in range(seq_len):
@@ -85,11 +120,10 @@ class _ClipIndex:
                 if not ok:
                     break
                 frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-            cap.release()
             if len(frames) < seq_len:
+                cap.release()              # poisoned handle: reopen next time
                 raise IOError(f'decode failed at {path}@{start}')
             seq = np.stack(frames)
-        ch, cw = crop_hw
         h, w = seq.shape[1:3]
         if h < ch or w < cw:
             raise IOError(f'clip {path} smaller than crop {crop_hw}')

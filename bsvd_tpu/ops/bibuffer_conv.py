@@ -199,11 +199,15 @@ def bibuffer_conv_supported(x_shape, w_shape, dtype):
 # chained MemCvBlock step: BOTH buffered convs of a block in ONE kernel
 # ---------------------------------------------------------------------------
 
-def _pick_bh_bichain(h, w, c, c1, cout, itemsize=2,
-                     vmem_budget=int(19.5 * 1024 * 1024)):
+def _pick_bh_bichain(h, w, c, c1, cout, itemsize=2, vmem_budget=None):
     # budget calibrated on-chip at the flagship 270p/128ch streaming site:
     # bh=5 (est 18.3 MiB) compiles and is the measured optimum (0.842 ms vs
     # 0.986 ms two-step); bh=6 (est 21.4 MiB) is past the Mosaic ceiling.
+    # Calibration is bf16; the estimate->actual ratio is dtype-dependent
+    # (see ops/conv_chain._pick_bh_chain), so fp32 keeps the conservative
+    # budget.
+    if vmem_budget is None:
+        vmem_budget = int((19.5 if itemsize == 2 else 15.0) * 1024 * 1024)
     c_pad = -(-c // 128) * 128
     c1_pad = -(-c1 // 128) * 128
     cout_pad = -(-cout // 128) * 128

@@ -29,13 +29,19 @@ from bsvd_tpu.ops._tile import (COL0 as _COL0, dedup_folded_weights,
 
 
 def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
-                   folded=False, vmem_budget=int(24.9 * 1024 * 1024)):
+                   folded=False, vmem_budget=None):
     # vmem_budget is calibrated in *estimate* space against the real chip
     # (tools/sweep_chain_bh.py, v5e): the flagship folded 540x480xC128
     # shapes compile at an estimated 24.72 MiB (n_in=1, bh=10) and fail
     # Mosaic allocation at 25.13 MiB (n_in=2, bh=9), so 24.9 MiB admits
     # every measured-good block height (bh=10/6/6, ~1.2 ms/run faster
     # than the old 15 MiB picks of 5/4/4) while rejecting the overflows.
+    # The estimate->actual ratio is DTYPE-dependent (fp32 packs none of the
+    # bf16 (2,1) tiling slack): at 24.9 the fp32 train step's 96x48 outc
+    # chain picked bh=32 and overran the 16 MiB scoped-vmem stack by 648 KiB
+    # at compile. fp32 keeps the conservative budget that always held.
+    if vmem_budget is None:
+        vmem_budget = int((24.9 if itemsize == 2 else 15.0) * 1024 * 1024)
     c_pad = -(-c // 128) * 128
     c1_pad = -(-c1 // 128) * 128
     cout_pad = -(-cout // 128) * 128
@@ -252,10 +258,50 @@ def _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=None):
     return site(site(v, w1, b1, act1).astype(x.dtype), w2, b2, act2)
 
 
+def _conv_nhwc(v, w):
+    return lax.conv_general_dilated(
+        v, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _chain_direct_bwd(x, x2, w1, b1, w2, b2, y2, g2, act1, act2):
+    """Direct chain backward from the saved endpoints: the act2 mask comes
+    from the saved OUTPUT and only the never-stored intermediate h is
+    recomputed (ONE forward conv) — a vjp through the XLA composite
+    re-runs BOTH forward convs (6 conv ops vs 5 here).
+
+    Args:
+        y2: conv2's post-act output (for the act2 mask).
+        g2: cotangent of y2.
+    Returns (dx, dw1, db1, dw2, db2); dx is the cotangent of the conv1
+    input v = x (+ x2) — callers fan it out to both addends.
+    """
+    from bsvd_tpu.ops.shift_conv import act_mask
+    v = x if x2 is None else x + x2
+    h = _conv_nhwc(v, w1) + b1.astype(x.dtype)
+    if act1 == 'relu':
+        h = jnp.maximum(h, 0)
+    elif act1 == 'relu6':
+        h = jnp.clip(h, 0, jnp.asarray(6, h.dtype))
+
+    m2 = act_mask(y2, act2)
+    dz2 = g2 if m2 is None else g2 * m2
+    db2 = dz2.sum((0, 1, 2)).astype(b2.dtype)
+    dw2 = jax.linear_transpose(lambda w_: _conv_nhwc(h, w_), w2)(dz2)[0]
+    dh = jax.linear_transpose(lambda v_: _conv_nhwc(v_, w2), h)(dz2)[0]
+
+    m1 = act_mask(h, act1)
+    dz1 = dh if m1 is None else dh * m1
+    db1 = dz1.sum((0, 1, 2)).astype(b1.dtype)
+    dw1 = jax.linear_transpose(lambda w_: _conv_nhwc(v, w_), w1)(dz1)[0]
+    dx = jax.linear_transpose(lambda v_: _conv_nhwc(v_, w1), x)(dz1)[0]
+    return dx, dw1, db1, dw2, db2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def conv_chain(x, w1, b1, w2, b2, act1='relu6', act2='none', folded=False):
-    """Differentiable chained convs: Pallas forward, XLA composite
-    backward (recomputes the cheap intermediate)."""
+    """Differentiable chained convs: Pallas forward, direct backward (act2
+    mask from the saved output; only the intermediate is recomputed)."""
     return conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2,
                              folded=folded)
 
@@ -263,16 +309,12 @@ def conv_chain(x, w1, b1, w2, b2, act1='relu6', act2='none', folded=False):
 def _cc_fwd(x, w1, b1, w2, b2, act1, act2, folded):
     y = conv_chain_pallas(x, w1, b1, w2, b2, act1=act1, act2=act2,
                           folded=folded)
-    return y, (x, w1, b1, w2, b2)
+    return y, (x, w1, b1, w2, b2, y)
 
 
 def _cc_bwd(act1, act2, folded, res, g):
-    x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
-                                                  act1, act2),
-        x, w1, b1, w2, b2)
-    return vjp(g)
+    x, w1, b1, w2, b2, y = res
+    return _chain_direct_bwd(x, None, w1, b1, w2, b2, y, g, act1, act2)
 
 
 conv_chain.defvjp(_cc_fwd, _cc_bwd)
@@ -289,16 +331,13 @@ def conv_chain_add2(x, x2, w1, b1, w2, b2, act1='relu6', act2='none',
 def _cca_fwd(x, x2, w1, b1, w2, b2, act1, act2, folded):
     y = conv_chain_pallas(x, w1, b1, w2, b2, x2, act1=act1, act2=act2,
                           folded=folded)
-    return y, (x, x2, w1, b1, w2, b2)
+    return y, (x, x2, w1, b1, w2, b2, y)
 
 
 def _cca_bwd(act1, act2, folded, res, g):
-    x, x2, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda x_, w1_, b1_, w2_, b2_: _chain_xla(x_, w1_, b1_, w2_, b2_,
-                                                  act1, act2, x2=x2),
-        x, w1, b1, w2, b2)
-    dx, dw1, db1, dw2, db2 = vjp(g)
+    x, x2, w1, b1, w2, b2, y = res
+    dx, dw1, db1, dw2, db2 = _chain_direct_bwd(x, x2, w1, b1, w2, b2, y, g,
+                                               act1, act2)
     return dx, dx, dw1, db1, dw2, db2
 
 
@@ -327,16 +366,22 @@ def conv_chain_add2_res(x, x2, x_res, w1, b1, w2, b2, act1='relu6',
 def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch, folded):
     y = conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
                           act2=act2, res_ch=res_ch, folded=folded)
-    return y, (x, x2, x_res, w1, b1, w2, b2)
+    return y, (x, x2, x_res, w1, b1, w2, b2, y)
 
 
 def _ccr_bwd(act1, act2, res_ch, folded, res, g):
-    x, x2, x_res, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda x_, x2_, xr_, w1_, b1_, w2_, b2_: _chain_res_xla(
-            x_, x2_, xr_, w1_, b1_, w2_, b2_, act1, act2, res_ch),
-        x, x2, x_res, w1, b1, w2, b2)
-    return vjp(g)
+    x, x2, x_res, w1, b1, w2, b2, y = res
+    # undo the residual combine: saved y = where(lane, x_res - y2, y2),
+    # so y2 (conv2's post-act output, the act2-mask source) and the
+    # cotangents of (y2, x_res) are pure lane selects on the saved output
+    cout = y.shape[-1]
+    lane = jnp.arange(cout) % (cout // 2) < res_ch
+    y2 = jnp.where(lane, x_res - y, y)
+    g2 = jnp.where(lane, -g, g)
+    dxres = jnp.where(lane, g, jnp.zeros((), g.dtype))
+    dx, dw1, db1, dw2, db2 = _chain_direct_bwd(x, x2, w1, b1, w2, b2, y2,
+                                               g2, act1, act2)
+    return dx, dx, dxres, dw1, db1, dw2, db2
 
 
 conv_chain_add2_res.defvjp(_ccr_fwd, _ccr_bwd)

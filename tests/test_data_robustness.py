@@ -72,6 +72,35 @@ def test_train_loader_epoch_counts_batches_not_patches(tmp_path):
         loader.close()
 
 
+def test_clip_index_native_roi_matches_cv2(tmp_path):
+    """_ClipIndex.sample with the native ROI decoder (crop INSIDE the
+    decoder) returns the same window, from the same rng draws, as the cv2
+    full-decode fallback — decode strategy must not change the sampled
+    data or the rng stream."""
+    import cv2
+    import os
+    from bsvd_tpu.data import native_decode as nd
+    from bsvd_tpu.data.video_train_loader import _ClipIndex
+    if not nd.available():
+        pytest.skip('native decoder unavailable')
+    rng0 = np.random.default_rng(7)
+    for c in range(2):
+        clip = tmp_path / f'clip{c}'
+        clip.mkdir()
+        for i in range(6):
+            img = rng0.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+            cv2.imwrite(str(clip / f'{i:03d}.png'), img)
+    idx = _ClipIndex(str(tmp_path))
+    for seed in range(4):
+        a = idx.sample(np.random.default_rng(seed), 3, (32, 48))
+        os.environ['BSVD_NATIVE_DECODE'] = '0'
+        try:
+            b = idx.sample(np.random.default_rng(seed), 3, (32, 48))
+        finally:
+            os.environ.pop('BSVD_NATIVE_DECODE')
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batch_loader_propagates_dataset_errors():
     """A dataset exception must surface in the consumer, not hang the
     training loop behind a dead producer thread."""

@@ -126,6 +126,38 @@ def test_native_decoder_matches_cv2(synth_data):
                                        cv2.COLOR_BGR2RGB)[4:36, 8:32])
 
 
+def test_native_roi_decode_matches_full(tmp_path):
+    """Window (ROI) decode — only the crop's rows/columns pass through
+    IDCT/defilter — is bit-identical to full-decode-then-crop for PNG and
+    JPEG at iMCU-misaligned offsets (the training loader's hot path)."""
+    import cv2
+    from bsvd_tpu.data import native_decode as nd
+    if not nd.available():
+        pytest.skip('native decoder unavailable')
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 255, (120, 200, 3))).astype(np.uint8)
+    cases = []
+    p_png = str(tmp_path / 'f.png')
+    cv2.imwrite(p_png, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    cases.append(p_png)
+    for q, sub in ((95, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420),
+                   (90, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444)):
+        p = str(tmp_path / f'f_{q}.jpg')
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, q,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sub])
+        cases.append(p)
+    for path in cases:
+        full = nd.decode_image(path)
+        for y0, x0, ch, cw in ((0, 0, 120, 200), (13, 27, 41, 53),
+                               (100, 150, 20, 50), (7, 0, 96, 96)):
+            got = nd.load_crop_seq([path], y0, x0, ch, cw)
+            assert got is not None, (path, y0, x0)
+            np.testing.assert_array_equal(
+                got[0], full[y0:y0 + ch, x0:x0 + cw],
+                err_msg=f'{path} @ ({y0},{x0},{ch},{cw})')
+
+
 def test_eval_center_frame_only_metric_scaling(synth_data, tmp_path):
     """center_frame_only scores one frame per clip; the reported average
     must be that frame's value, not value/num_frames (regression: the

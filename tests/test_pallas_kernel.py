@@ -293,7 +293,11 @@ def test_conv_chain_interpret_matches_xla(case):
                                    rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
 
 
-def test_conv_chain_gradients():
+@pytest.mark.parametrize('act2', ['none', 'relu6'])
+def test_conv_chain_gradients(act2):
+    """Direct chain backward (act2 mask from the saved output, only the
+    intermediate recomputed) == vjp through the XLA composite — both the
+    outc-style (act2='none') and inc-style (act2='relu6') sites."""
     import jax
     from jax.experimental.pallas import tpu as pltpu
     from bsvd_tpu.ops.conv_chain import _chain_xla, conv_chain
@@ -306,10 +310,10 @@ def test_conv_chain_gradients():
 
     def loss_fused(*a):
         with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(conv_chain(*a) ** 2)
+            return jnp.sum(conv_chain(*a, act2=act2) ** 2)
 
     def loss_ref(x, w1, b1, w2, b2):
-        return jnp.sum(_chain_xla(x, w1, b1, w2, b2, 'relu6', 'none') ** 2)
+        return jnp.sum(_chain_xla(x, w1, b1, w2, b2, 'relu6', act2) ** 2)
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     for a, bb in zip(g1, g2):

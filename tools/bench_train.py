@@ -51,6 +51,19 @@ def bench(amp, batch, iters):
 
     step = jax.jit(make_train_step(cfg, tx, MSELoss(), amp=amp),
                    donate_argnums=(0, 1, 2))
+    # model-FLOPs estimate for MFU: 3x the forward's conv FLOPs (fwd +
+    # input-grad + weight-grad convs — the standard train-step accounting),
+    # from the XLA cost analysis of the jitted FORWARD alone (the train
+    # step's own cost_analysis would double-count our Pallas kernels'
+    # CostEstimate against XLA's recomputes).
+    model_tflop = None
+    try:
+        from bsvd_tpu.archs.wnet_arch import wnet_apply
+        fwd = jax.jit(lambda p, v: wnet_apply(p, v, cfg))
+        ca = fwd.lower(params, batch_d['lq']).compile().cost_analysis()
+        model_tflop = 3 * float(ca['flops']) / 1e12
+    except Exception:
+        pass
     params, opt_state, ema, loss = step(params, opt_state, ema, batch_d,
                                         0, 0.999)
     float(loss['l_pix'])                      # compile + warm + sync
@@ -63,14 +76,16 @@ def bench(amp, batch, iters):
                                                 batch_d, i, 0.999)
         float(loss['l_pix'])                  # sync the chain
         best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return best, model_tflop
 
 
-def _ensure_synth_data(path, clips=8, t=40, h=256, w=256):
+def _ensure_synth_data(path, clips=8, t=40, h=480, w=854, fmt='jpg'):
+    """DAVIS-train-shaped by default: 480p JPEG frame folders (the
+    reference's training storage, JPEGImages/480p)."""
     import os
     if not os.path.isdir(path) or not os.listdir(path):
         from make_synth_dataset import main as make_ds
-        make_ds(path, num_clips=clips, t=t, h=h, w=w, seed=0)
+        make_ds(path, num_clips=clips, t=t, h=h, w=w, seed=0, fmt=fmt)
     return path
 
 
@@ -183,7 +198,7 @@ def main():
     ap.add_argument('--real-data', action='store_true',
                     help='bench end-to-end incl. the host input pipeline '
                          '(decode+augment+noise) on --data')
-    ap.add_argument('--data', default='/tmp/bsvd_bench_trainset',
+    ap.add_argument('--data', default='/tmp/bsvd_bench_trainset_480p',
                     help='dataset dir for --real-data (synthesized if absent)')
     args = ap.parse_args()
 
@@ -202,10 +217,16 @@ def main():
                   f"(batch {args.batch} x 11 x 96x96)")
         return
 
+    # v5e peak: 197 TF/s bf16 (394 int8); fp32 runs through the same MXU
+    # at bf16-input precision on this workload so use the same peak
+    peak_tfs = 197.0
     for amp in (False, True):
-        s = bench(amp, args.batch, args.iters)
+        s, tflop = bench(amp, args.batch, args.iters)
+        mfu = (f', MFU {tflop / s / peak_tfs * 100:4.1f}% '
+               f'({tflop / s:5.1f} TF/s model)' if tflop else '')
         print(f"{'bf16-AMP' if amp else 'fp32    '}: {s * 1e3:8.2f} ms/it "
-              f"= {1.0 / s:5.2f} it/s  (batch {args.batch} x 11 x 96x96)")
+              f"= {1.0 / s:5.2f} it/s  (batch {args.batch} x 11 x 96x96)"
+              f"{mfu}")
 
 
 if __name__ == '__main__':

@@ -35,14 +35,19 @@ def make_clip(seed, t, h, w):
     return frames
 
 
-def main(out_dir, num_clips=2, t=12, h=64, w=64, seed=0):
+def main(out_dir, num_clips=2, t=12, h=64, w=64, seed=0, fmt='png'):
+    """``fmt='jpg'`` mirrors DAVIS-train's storage (JPEGImages, q~95) — the
+    representative format for training-loader benchmarks; PNG mirrors
+    Set8-style lossless eval data."""
+    ext, args = (('jpg', [cv2.IMWRITE_JPEG_QUALITY, 95]) if fmt == 'jpg'
+                 else ('png', []))
     for c in range(num_clips):
         clip_dir = os.path.join(out_dir, f'clip{c:02d}')
         os.makedirs(clip_dir, exist_ok=True)
         for i, frame in enumerate(make_clip(seed + c, t, h, w)):
-            cv2.imwrite(os.path.join(clip_dir, f'{i:05d}.png'),
-                        cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-    print(f'wrote {num_clips} clips of {t}x{h}x{w} to {out_dir}')
+            cv2.imwrite(os.path.join(clip_dir, f'{i:05d}.{ext}'),
+                        cv2.cvtColor(frame, cv2.COLOR_RGB2BGR), args)
+    print(f'wrote {num_clips} clips of {t}x{h}x{w} ({ext}) to {out_dir}')
 
 
 if __name__ == '__main__':
@@ -53,5 +58,7 @@ if __name__ == '__main__':
     ap.add_argument('--height', type=int, default=64)
     ap.add_argument('--width', type=int, default=64)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--format', default='png', choices=['png', 'jpg'])
     a = ap.parse_args()
-    main(a.out_dir, a.num_clips, a.frames, a.height, a.width, a.seed)
+    main(a.out_dir, a.num_clips, a.frames, a.height, a.width, a.seed,
+         a.format)
