@@ -409,6 +409,158 @@ def conv3x3_pallas(x, w, b, x2=None, *, t_len=None, shift='none', fold_div=8,
     )(*xs, w_op, b.reshape(1, cout))
 
 
+def _pick_bh_dw(h, w, c, cout, itemsize=2,
+                vmem_budget=13 * 1024 * 1024):
+    acc = 9 * c * cout * 4
+    for bh in sorted((d for d in range(1, h + 1) if h % d == 0),
+                     reverse=True):
+        tile = (bh + 2) * (w + 2 * _COL0) * c * itemsize
+        dzt = bh * w * cout * itemsize
+        # xs/dz flattened-operand temporaries ~2 tile equivalents
+        total = 2 * tile + 2 * dzt + acc + int(2 * tile)
+        if total <= vmem_budget and bh * w >= 512:
+            return bh
+    return None
+
+
+def _kernel_dw(x_hbm, dz_hbm, dw_ref, ring, rsems, dzb, dsems, *, nt, bh, h,
+               w, c, cout):
+    """Weight-grad accumulation kernel: natural-layout tiles of x
+    (halo-extended) and dz stream through VMEM once; each step adds nine
+    shifted (bh*w, C)^T @ (bh*w, Cout) MXU contractions into the fp32
+    (9, C, Cout) accumulator that IS the output block (constant index_map,
+    sequential grid)."""
+    hb = pl.program_id(0)
+    t = pl.program_id(1)
+    nhb = pl.num_programs(0)
+    row0 = hb * bh
+
+    def dmas(slot, tt):
+        return halo_row_dmas(x_hbm.at[tt], ring.at[slot, 0], rsems,
+                             (slot, 0), row0, bh, h, w) + [
+            pltpu.make_async_copy(dz_hbm.at[tt, pl.ds(row0, bh)],
+                                  dzb.at[slot], dsems.at[slot])]
+
+    @pl.when(t == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        for d in dmas((t + 1) % 2, t + 1):
+            d.start()
+
+    for d in dmas(t % 2, t):
+        d.wait()
+    zero_halo(ring, t % 2, 0, hb, nhb, bh, w, c)
+
+    @pl.when((hb == 0) & (t == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    tile = ring[t % 2, 0]                          # (bh+2, w+2*COL0, c)
+    dzt = dzb[t % 2].reshape(bh * w, cout)
+    for ky in range(3):
+        for kx in range(3):
+            xs = tile[ky:ky + bh,
+                      _COL0 - 1 + kx:_COL0 - 1 + kx + w, :]
+            acc = lax.dot_general(
+                xs.reshape(bh * w, c), dzt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw_ref[ky * 3 + kx] += acc
+
+
+@functools.partial(jax.jit, static_argnames=('bh', 'interpret'))
+def conv3x3_dw_pallas(x, dz, *, bh=None, interpret=False):
+    """Weight gradient of a stride-1 pad-1 3x3 NHWC conv in ONE kernel.
+
+    dw[ky,kx,ci,co] = sum_{n,y,x} pad(x)[n,y+ky,x+kx,ci] * dz[n,y,x,co].
+    XLA's conv_grad_weights lowering relayouts BOTH operands batch-minor
+    per site (measured 48% of the bf16 train step in transpose/copy), and
+    the 9-slice dot_general formulation re-reads both tensors nine times;
+    this kernel reads each ONCE in the natural C-minor layout and keeps
+    the 9-tap fp32 accumulator resident in VMEM.
+
+    Returns (3, 3, Ci, Co) float32.
+    """
+    nt, h, w_, c = x.shape
+    cout = dz.shape[-1]
+    if bh is None:
+        bh = _pick_bh_dw(h, w_, c, cout, jnp.dtype(x.dtype).itemsize)
+    if bh is None:
+        raise ValueError(f'no valid row block for H={h}')
+    nhb = h // bh
+    kern = functools.partial(_kernel_dw, nt=nt, bh=bh, h=h, w=w_, c=c,
+                             cout=cout)
+    dw = pl.pallas_call(
+        kern,
+        grid=(nhb, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((9, c, cout), lambda hb, t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, c, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, bh + 2, w_ + 2 * _COL0, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 1, 3)),
+            pltpu.VMEM((2, bh, w_, cout), dz.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(flops=2 * 9 * c * cout * h * w_ * nt,
+                                      bytes_accessed=(x.size + dz.size) * 2,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(x, dz)
+    return dw.reshape(3, 3, c, cout)
+
+
+def conv3x3_dw_supported(x_shape, dz_shape, dtype):
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+        return False
+    try:
+        if jax.devices()[0].platform not in ('tpu', 'TPU', 'axon'):
+            return False
+    except Exception:
+        return False
+    nt, h, w_, c = x_shape
+    cout = dz_shape[-1]
+    if c % 128 != 0 or cout % 128 != 0:
+        return False
+    return _pick_bh_dw(h, w_, c, cout,
+                       jnp.dtype(dtype).itemsize) is not None
+
+
+def conv3x3_dw(x, dz, w_dtype=None):
+    """Weight gradient of a stride-1 pad-1 3x3 NHWC conv via XLA's
+    conv_grad_weights. Returns (3, 3, Ci, Co) in ``w_dtype``.
+
+    Negative results so round 6 doesn't re-try them (measured at the
+    (176,96,48,128) flagship train site, bf16):
+    - 9 C-minor dot_generals over slices of pad(x): re-reads both tensors
+      nine times — bf16 step 6.99 -> 4.53 it/s.
+    - one-pass Pallas accumulation kernel (conv3x3_dw_pallas, kept below):
+      natural-layout streaming, (9,Ci,Co) fp32 VMEM accumulator — but the
+      K-major (bh*w, C)^T contraction forces a Mosaic relayout per tap:
+      44.6 ms vs XLA's 3.7 ms. A lane-roll/transposed-dz reformulation
+      might close it; untried.
+    XLA's batch-minor relayout + conv (the ~1.25 ms/site transpose pairs
+    in the train trace) remains the fastest known form."""
+    w_dtype = w_dtype or x.dtype
+
+    def conv_w(v):
+        return lax.conv_general_dilated(
+            x, v, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    wspec = jax.ShapeDtypeStruct((3, 3, x.shape[-1], dz.shape[-1]), x.dtype)
+    return jax.linear_transpose(conv_w, wspec)(dz)[0].astype(w_dtype)
+
+
 def _conv3x3_xla(x, w, b, act):
     """XLA composite with identical semantics (oracle + backward)."""
     y = lax.conv_general_dilated(
@@ -437,7 +589,8 @@ def _c3_fwd(x, w, b, act, folded):
 
 def _c3_bwd(act, folded, res, g):
     """Direct backward from saved (x, w, b, y): the activation mask comes
-    from the saved output, so the forward conv is never recomputed."""
+    from the saved output, so the forward conv is never recomputed; the
+    weight grad runs as layout-preserving dots (conv3x3_dw)."""
     from bsvd_tpu.ops.shift_conv import act_mask
     x, w, b, y = res
     mask = act_mask(y, act)
@@ -449,13 +602,8 @@ def _c3_bwd(act, folded, res, g):
             v, w, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
-    def conv_w(v):
-        return lax.conv_general_dilated(
-            x, v, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-
     dx = jax.linear_transpose(conv_x, x)(dz)[0]
-    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    dw = conv3x3_dw(x, dz).astype(w.dtype)
     return dx, dw, db
 
 
@@ -487,13 +635,8 @@ def _c3a_bwd(act, folded, res, g):
             v, w, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
-    def conv_w(v):
-        return lax.conv_general_dilated(
-            x + x2, v, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-
     dx = jax.linear_transpose(conv_x, x)(dz)[0]
-    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    dw = conv3x3_dw(x + x2, dz).astype(w.dtype)
     return dx, dx, dw, db
 
 
@@ -610,10 +753,41 @@ def _cpf_fwd(x, w, b):
     return conv_ps_fold_pallas(x, w, b), (x, w, b)
 
 
+def _ps_post(z, fold):
+    """Post-conv linear part of the ps kernels: r=2 shuffle (+ width-fold).
+    Its linear_transpose is the exact unshuffle the direct backwards use."""
+    nt, h, w_, c4 = z.shape
+    c = c4 // 4
+    z = z.reshape(nt, h, w_, c, 2, 2)               # (k, di, dj)
+    z = jnp.transpose(z, (0, 1, 4, 2, 5, 3))        # (nt, h, di, w, dj, k)
+    return (z.reshape(nt, 2 * h, w_, 2 * c) if fold
+            else z.reshape(nt, 2 * h, 2 * w_, c))
+
+
+def _ps_direct_bwd(x, w, b, g, fold):
+    """Direct backward for conv+shuffle(+fold): ONE unshuffle transpose of
+    the cotangent, then a plain conv_grad_data and the layout-preserving
+    dot-based weight grad — instead of vjp through the composite, whose
+    conv_grad_weights relayouts both operands batch-minor."""
+    nt, h, w_, c_in = x.shape
+    cout = w.shape[-1]
+    zspec = jax.ShapeDtypeStruct((nt, h, w_, cout), g.dtype)
+    dz = jax.linear_transpose(lambda z: _ps_post(z, fold), zspec)(g)[0]
+    db = dz.sum((0, 1, 2)).astype(b.dtype)
+
+    def conv_x(v):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    dx = jax.linear_transpose(conv_x, x)(dz)[0]
+    dw = conv3x3_dw(x, dz).astype(w.dtype)
+    return dx, dw, db
+
+
 def _cpf_bwd(res, g):
     x, w, b = res
-    _, vjp = jax.vjp(_conv_ps_fold_xla, x, w, b)
-    return vjp(g)
+    return _ps_direct_bwd(x, w, b, g, fold=True)
 
 
 conv_ps_fold.defvjp(_cpf_fwd, _cpf_bwd)
@@ -722,8 +896,7 @@ def _cpn_fwd(x, w, b):
 
 def _cpn_bwd(res, g):
     x, w, b = res
-    _, vjp = jax.vjp(_conv_ps_natural_xla, x, w, b)
-    return vjp(g)
+    return _ps_direct_bwd(x, w, b, g, fold=False)
 
 
 conv_ps_natural.defvjp(_cpn_fwd, _cpn_bwd)

@@ -284,16 +284,17 @@ def _chain_direct_bwd(x, x2, w1, b1, w2, b2, y2, g2, act1, act2):
     elif act1 == 'relu6':
         h = jnp.clip(h, 0, jnp.asarray(6, h.dtype))
 
+    from bsvd_tpu.ops.conv3x3 import conv3x3_dw
     m2 = act_mask(y2, act2)
     dz2 = g2 if m2 is None else g2 * m2
     db2 = dz2.sum((0, 1, 2)).astype(b2.dtype)
-    dw2 = jax.linear_transpose(lambda w_: _conv_nhwc(h, w_), w2)(dz2)[0]
+    dw2 = conv3x3_dw(h, dz2).astype(w2.dtype)
     dh = jax.linear_transpose(lambda v_: _conv_nhwc(v_, w2), h)(dz2)[0]
 
     m1 = act_mask(h, act1)
     dz1 = dh if m1 is None else dh * m1
     db1 = dz1.sum((0, 1, 2)).astype(b1.dtype)
-    dw1 = jax.linear_transpose(lambda w_: _conv_nhwc(v, w_), w1)(dz1)[0]
+    dw1 = conv3x3_dw(v, dz1).astype(w1.dtype)
     dx = jax.linear_transpose(lambda v_: _conv_nhwc(v_, w1), x)(dz1)[0]
     return dx, dw1, db1, dw2, db2
 

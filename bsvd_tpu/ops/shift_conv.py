@@ -286,13 +286,9 @@ def _sc_bwd(t_len, fold_div, act, causal, res, g):
             v, w, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
-    def conv_w(v):
-        return lax.conv_general_dilated(
-            xs, v, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-
+    from bsvd_tpu.ops.conv3x3 import conv3x3_dw
     dxs = jax.linear_transpose(conv_x, xs)(dz)[0]
-    dw = jax.linear_transpose(conv_w, w)(dz)[0]
+    dw = conv3x3_dw(xs, dz).astype(w.dtype)
     dx = jax.linear_transpose(shift_fn, x)(dxs)[0]
     return dx, dw, db
 

@@ -478,6 +478,55 @@ def test_conv_ps_fold_gradients():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('nt', [1, 3])
+def test_conv3x3_dw_kernel_interpret(nt):
+    """One-pass weight-grad accumulation kernel (ops/conv3x3._kernel_dw):
+    (3,3,Ci,Co) == XLA conv_grad_weights, multiple row blocks + frames."""
+    import jax
+    from jax import lax
+    from bsvd_tpu.ops.conv3x3 import conv3x3_dw_pallas
+    rng = np.random.default_rng(65)
+    H, W, CI, CO = 12, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((nt, H, W, CI)), jnp.float32)
+    dz = jnp.asarray(rng.standard_normal((nt, H, W, CO)), jnp.float32)
+
+    def conv_w(v):
+        return lax.conv_general_dilated(
+            x, v, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    wspec = jax.ShapeDtypeStruct((3, 3, CI, CO), jnp.float32)
+    ref = jax.linear_transpose(conv_w, wspec)(dz)[0]
+    for bh in (3, 6, 12):
+        got = conv3x3_dw_pallas(x, dz, bh=bh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+
+def test_conv_ps_natural_gradients():
+    """Direct backward of the natural-layout shuffle kernel (one unshuffle
+    transpose + dot-based dw) == vjp through the XLA composite."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from bsvd_tpu.ops.conv3x3 import _conv_ps_natural_xla, conv_ps_natural
+    rng = np.random.default_rng(64)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_ps_natural(*a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_conv_ps_natural_xla(*a) ** 2)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize('rc', [1, 3])
 def test_conv_chain_res_interpret_matches_xla(rc):
     """Residual-fused chain kernel: skip-add + c1 + c2 + the folded
