@@ -639,14 +639,6 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None,
     o = p['outc']
     n, t, h, wf, _ = x0.shape
 
-    # residual source in the output's folded lane layout. The stage input
-    # itself serves when its lane layout already matches (xe): the residual
-    # mask only reads lanes l%s_out < rc. Otherwise embed with a 0/1 GEMM —
-    # NOT reshape+pad, whose XLA lowering picks an H-minor layout for the
-    # sub-128-lane intermediate and pays a full-tensor relayout copy before
-    # the Pallas consumer (~3.6 ms on the 540p trace).
-    xpad = xe if xe is not None else embed_half_lanes(xf, in_ch, s_out)
-
     # outc c1+c2 + skip-add + residual combine as ONE kernel when the
     # folded output is lane-aligned (ops/conv_chain.conv_chain_add2_res)
     if mask is None and cfg.use_fused and cfg.norm == 'none' \
@@ -656,16 +648,41 @@ def _stage_apply_folded(p, x, cfg, act, fold_io=False, mask=None,
                                              conv_chain_supported)
         w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
         w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
+        xm0 = x0.reshape(n * t, h, wf, x0.shape[-1])
+        x1m = x1uf.reshape(n * t, h, wf, x1uf.shape[-1])
         if conv_chain_supported((n * t, h, wf, x0.shape[-1]), w1.shape,
                                 w2.shape, x0.dtype, n_in=2, has_res=True,
                                 folded=True):
+            xpad = xe if xe is not None else embed_half_lanes(xf, in_ch,
+                                                              s_out)
             y = conv_chain_add2_res(
-                x0.reshape(n * t, h, wf, x0.shape[-1]),
-                x1uf.reshape(n * t, h, wf, x1uf.shape[-1]),
-                xpad.reshape(n * t, h, wf, 2 * s_out),
+                xm0, x1m, xpad.reshape(n * t, h, wf, 2 * s_out),
                 w1, b1, w2, b2, cfg.act, 'none', rc, True)
             y = y.reshape(n, t, h, wf, 2 * s_out)
             return y if fold_io else _unfold2(y)
+        if (2 * in_ch) % 128 == 0 and conv_chain_supported(
+                (n * t, h, wf, x0.shape[-1]), w1.shape, w2.shape, x0.dtype,
+                n_in=2, has_res=True, folded=True, res_lanes=2 * in_ch):
+            # tail stage (2*s_out < 128): the kernel takes the RAW folded
+            # stage input and projects it to output lanes in VMEM — the
+            # sub-128-lane embed+subtract XLA fusion (2.9 ms on the 540p
+            # flagship trace: 6-lane 540p tensors are physically
+            # 128-lane-padded, so every access moves ~21x the bytes)
+            # never materializes.
+            y = conv_chain_add2_res(
+                xm0, x1m, xf.reshape(n * t, h, wf, 2 * in_ch),
+                w1, b1, w2, b2, cfg.act, 'none', rc, True,
+                res_embed=(in_ch, s_out))
+            y = y.reshape(n, t, h, wf, 2 * s_out)
+            return y if fold_io else _unfold2(y)
+
+    # residual source in the output's folded lane layout. The stage input
+    # itself serves when its lane layout already matches (xe): the residual
+    # mask only reads lanes l%s_out < rc. Otherwise embed with a 0/1 GEMM —
+    # NOT reshape+pad, whose XLA lowering picks an H-minor layout for the
+    # sub-128-lane intermediate and pays a full-tensor relayout copy before
+    # the Pallas consumer (~3.6 ms on the 540p trace).
+    xpad = xe if xe is not None else embed_half_lanes(xf, in_ch, s_out)
 
     if mask is None:
         y = _pair_folded(o['c1'], o['c2'], x0, cfg, act, 'none', x2_f=x1uf)

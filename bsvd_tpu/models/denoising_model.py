@@ -359,9 +359,14 @@ class DenoisingModel(BaseModel):
 
     # ------------------------------------------------------------------ #
     def padding_input(self, seq):
-        """Reflect-pad H, W to multiples of 4 (two downsample scales) —
-        reference denoising_model.py:133-159."""
-        window_size = 4
+        """Reflect-pad H, W to multiples of 16 — covers the reference's
+        two-downsample requirement (multiple of 4, reference
+        denoising_model.py:133-159) AND keeps the width-folded W a multiple
+        of 8, which the Pallas kernels' HBM row DMAs require (Mosaic
+        rejects logically-unaligned full-width slices: DAVIS 854 -> pad 856
+        -> folded 428 failed at compile). Exactness-neutral: the extra
+        reflect border is cropped by crop_output."""
+        window_size = 16
         _, _, h, w = seq.shape
         mod_pad_h = (window_size - h % window_size) % window_size
         mod_pad_w = (window_size - w % window_size) % window_size

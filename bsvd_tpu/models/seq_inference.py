@@ -189,6 +189,19 @@ def _with_noise_map(seq_thwc, noise_sigma, cfg):
     return jnp.concatenate([seq_thwc, nm], axis=-1)
 
 
+def _device_hbm_budget(frac=0.8):
+    """Usable HBM bytes on device 0 (memory_stats when live, a v5e-class
+    15.75 GB default through remote tunnels that expose no stats)."""
+    total = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            total = stats.get('bytes_limit') or stats.get('bytes_reservable_limit')
+    except Exception:
+        pass
+    return frac * (total or 15.75 * 2**30)
+
+
 def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
                 future_buffer_len=0, mode='mimo', compute_dtype=None,
                 mesh=None, host_chunks=False, device_program=False):
@@ -256,6 +269,30 @@ def denoise_seq(params, cfg, seq, noise_sigma=None, temp_psz=-1,
         # N=1 at inference: keep batch replicated, shard H over 'spatial'
         x = jax.device_put(x, batch_sharding(mesh, 5, batch_axis=None,
                                              spatial_axis=2))
+
+    if whole_clip and mode == 'mimo' and not spatial_mesh:
+        # HBM guard: a whole-clip MIMO program materializes O(T) full-res
+        # activations (~0.26 GB per 540p bf16 frame measured), so long
+        # clips (Set8/DAVIS: 85 frames ~ 22 GB) cannot run in one forward
+        # on a 16 GB chip. Auto-switch to the chunked protocol WITH
+        # positional carries — bit-equal to the whole-clip result (the
+        # carries reproduce the global temporal shift; equivalence-tested)
+        # — instead of failing at compile like the reference would OOM.
+        per_frame = seq.shape[2] * seq.shape[3] * 256 * jnp.dtype(
+            x.dtype).itemsize
+        budget = _device_hbm_budget()
+        if t * per_frame > budget:
+            import logging
+            auto_psz = max(4, min(t - 1, int(budget / (2.5 * per_frame))))
+            logging.getLogger('bsvd_tpu').warning(
+                'whole-clip MIMO of %d frames @ %dx%d (~%.1f GB activations)'
+                ' exceeds device HBM (~%.1f GB); auto-chunking with '
+                'temp_psz=%d + exact positional carries',
+                t, seq.shape[2], seq.shape[3], t * per_frame / 2**30,
+                budget / 2**30, auto_psz)
+            whole_clip = False
+            temp_psz = auto_psz
+            future_buffer_len = 0
 
     if whole_clip:
         fn = _whole_clip_stream if mode == 'streaming' else _whole_clip_mimo

@@ -189,7 +189,8 @@ def bibuffer_conv_supported(x_shape, w_shape, dtype):
     except Exception:
         return False
     nt, h, w_, c = x_shape
-    if nt != 1 or w_shape[0] != 3 or w_shape[1] != 3 or c % 128 != 0:
+    if nt != 1 or w_shape[0] != 3 or w_shape[1] != 3 or c % 128 != 0 \
+            or w_ % 8 != 0:
         return False
     return _pick_bh(h, w_, c, w_shape[-1],
                     jnp.dtype(dtype).itemsize) is not None
@@ -619,7 +620,8 @@ def bibuffer_multi_supported(x_shape, w_shape, dtype):
     except Exception:
         return False
     nf, h, w_, c = x_shape
-    if nf < 1 or w_shape[0] != 3 or w_shape[1] != 3 or c % 128 != 0:
+    if (nf < 1 or w_shape[0] != 3 or w_shape[1] != 3 or c % 128 != 0
+            or w_ % 8 != 0):
         return False
     return _pick_bh_multi(h, w_, c, w_shape[-1],
                           jnp.dtype(dtype).itemsize) is not None
@@ -638,7 +640,7 @@ def bibuffer_chain_supported(x_shape, w1_shape, w2_shape, dtype):
     c1 = w1_shape[-1]
     if nt != 1 or w1_shape[:2] != (3, 3) or w2_shape[:2] != (3, 3):
         return False
-    if c % 128 != 0 or c1 % 128 != 0:
+    if c % 128 != 0 or c1 % 128 != 0 or w_ % 8 != 0:
         return False
     # measured on-chip: the chain wins at 128-lane sites (270p down0,
     # 1.17x over two sequential bibuffer kernels) but loses at 256-lane

@@ -529,7 +529,7 @@ def conv3x3_dw_supported(x_shape, dz_shape, dtype):
         return False
     nt, h, w_, c = x_shape
     cout = dz_shape[-1]
-    if c % 128 != 0 or cout % 128 != 0:
+    if c % 128 != 0 or cout % 128 != 0 or w_ % 8 != 0:
         return False
     return _pick_bh_dw(h, w_, c, cout,
                        jnp.dtype(dtype).itemsize) is not None
@@ -914,7 +914,7 @@ def conv_ps_natural_supported(x_shape, w_shape, dtype):
         return False
     nt, h, w_, c = x_shape
     cout = w_shape[-1]
-    if w_shape[:2] != (3, 3) or c % 128 != 0:
+    if w_shape[:2] != (3, 3) or c % 128 != 0 or w_ % 8 != 0:
         return False
     if cout % 512 != 0:             # each (di, dj) plane must be 128-lane
         return False
@@ -934,7 +934,7 @@ def conv_ps_fold_supported(x_shape, w_shape, dtype):
         return False
     nt, h, w_, c = x_shape
     cout = w_shape[-1]
-    if w_shape[:2] != (3, 3) or c % 128 != 0:
+    if w_shape[:2] != (3, 3) or c % 128 != 0 or w_ % 8 != 0:
         return False
     if cout % 256 != 0:             # folded half must be lane-aligned
         return False
@@ -966,9 +966,11 @@ def conv3x3_supported(x_shape, w_shape, dtype, shift='none', n_in=1,
     itemsize = jnp.dtype(dtype).itemsize
     if c == 64 and shift == 'none' and w_ % 2 == 0 and not folded:
         c, w_ = 128, w_ // 2
+        if w_ % 8 != 0:      # HBM row DMAs need an 8-aligned logical width
+            return False
         return _pick_bh(h, w_, c, 2 * w_shape[-1], shift,
                         itemsize, n_in=n_in, folded=True) is not None
-    if c % 128 != 0:
+    if c % 128 != 0 or w_ % 8 != 0:
         return False
     return _pick_bh(h, w_, c, w_shape[-1], shift, itemsize,
                     n_in=n_in, folded=folded) is not None

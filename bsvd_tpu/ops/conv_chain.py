@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -29,7 +30,7 @@ from bsvd_tpu.ops._tile import (COL0 as _COL0, dedup_folded_weights,
 
 
 def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
-                   folded=False, vmem_budget=None):
+                   folded=False, vmem_budget=None, res_lanes=None):
     # vmem_budget is calibrated in *estimate* space against the real chip
     # (tools/sweep_chain_bh.py, v5e): the flagship folded 540x480xC128
     # shapes compile at an estimated 24.72 MiB (n_in=1, bh=10) and fail
@@ -54,7 +55,9 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
         acc = bh * w * (c1_pad + cout_pad) * 4
         out = 2 * bh * w * cout_pad * itemsize
         wts = n_taps * (c_pad * c1_pad + c1_pad * cout_pad) * itemsize * 2
-        res = 2 * bh * w * cout_pad * itemsize if has_res else 0
+        res_pad = (-(-res_lanes // 128) * 128 if res_lanes is not None
+                   else cout_pad)
+        res = 2 * bh * w * res_pad * itemsize if has_res else 0
         total = (int(2 * n_in * tile + tmp * tile) + interm + 2 * acc + out
                  + wts + res)
         if total <= vmem_budget and bh * w >= 512:
@@ -63,12 +66,21 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
 
 
 def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
-                  res_ch=None, folded=False):
+                  res_ch=None, folded=False, res_proj=False):
     xs = refs[:n_in]
+    proj_ref = None
     if res_ch is None:
         x_res = res_ring = res_sems = None
         (w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems,
          interm) = refs[n_in:]
+    elif res_proj:
+        # residual source arrives in a WIDER lane layout (e.g. the folded
+        # stage input, 128 lanes) and is projected to the output's lane
+        # layout in-kernel via a 0/1 matrix — the tail stage's sub-128-lane
+        # embed+subtract XLA fusion (2.9 ms on the 540p flagship trace)
+        # never materializes.
+        (x_res, w1_ref, b1_ref, w2_ref, b2_ref, proj_ref, o_ref, ring, sems,
+         interm, res_ring, res_sems) = refs[n_in:]
     else:
         (x_res, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, ring, sems, interm,
          res_ring, res_sems) = refs[n_in:]
@@ -159,26 +171,54 @@ def _kernel_chain(*refs, nt, bh, h, w, c, c1, cout, act1, act2, n_in,
             # static lane mask — no XLA select/pad/layout round trip.
             ob_slot = (k - 1) % 2
             res_dma(k - 1, ob_slot).wait()
-            rt = res_ring[ob_slot].astype(jnp.float32)
+            if proj_ref is not None:
+                # 0/1 lane projection — exact in the input dtype, so the
+                # (bh, w, res_lanes) tile is never cast up; only the tiny
+                # projected result accumulates in fp32
+                rt_n = res_ring[ob_slot]
+                rt = lax.dot_general(
+                    rt_n.reshape(bh * w, rt_n.shape[-1]), proj_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).reshape(bh, w, cout)
+            else:
+                rt = res_ring[ob_slot].astype(jnp.float32)
             lane = lax.broadcasted_iota(jnp.int32, (bh, w, cout), 2)
             a2 = jnp.where((lane % (cout // 2)) < res_ch, rt - a2, a2)
         o_ref[...] = a2.astype(o_ref.dtype)[None]
 
 
+def res_embed_matrix(in_c, s_out, dtype=np.float32):
+    """0/1 projection from folded-input lanes (dj*in_c + ch) to folded-
+    output lanes (dj*s_out + ch), ch < min(in_c, s_out) — exactly
+    wnet_arch.embed_half_lanes's map, as a matrix the chain kernel can
+    apply in VMEM."""
+    emb = np.zeros((2 * in_c, 2 * s_out), dtype)
+    for dj in range(2):
+        for ch in range(min(in_c, s_out)):
+            emb[dj * in_c + ch, dj * s_out + ch] = 1.0
+    return emb
+
+
 @functools.partial(jax.jit,
                    static_argnames=('act1', 'act2', 'res_ch', 'bh', 'folded',
-                                    'interpret'))
+                                    'res_embed', 'interpret'))
 def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
                       act2='none', res_ch=None, bh=None, folded=False,
-                      interpret=False):
+                      res_embed=None, interpret=False):
     """Chained 3x3 convs: act2(conv2(act1(conv1(x (+x2))))), one kernel.
 
     Args:
         x: (NT, H, W, C); x2: optional second addend for conv1's input.
         w1: (3, 3, C, C1); w2: (3, 3, C1, Cout). C, C1 multiples of 128.
-        x_res: optional (NT, H, W, Cout) residual source; with ``res_ch``
-            set, output lanes l with l % (Cout/2) < res_ch become
-            x_res - y (the folded per-stage residual combine, fused).
+        x_res: optional residual source; with ``res_ch`` set, output lanes
+            l with l % (Cout/2) < res_ch become x_res - y (the folded
+            per-stage residual combine, fused). Shape (NT, H, W, Cout) —
+            or, with ``res_embed``, the RAW folded stage input.
+        res_embed: optional static (in_c, s_out): x_res has 2*in_c lanes
+            (a multiple of 128) and is projected to the output lane layout
+            IN KERNEL via the 0/1 embed matrix — serves the tail stage
+            whose 2*s_out < 128 output lanes would otherwise force the
+            embed+subtract onto a sub-128-lane XLA fusion.
         folded: BOTH weights are width-folded (fold_width_weights layout)
             on folded views — both convs run the 6-dot dedup contraction
             (_tile.dots_folded) instead of 9 dots each.
@@ -194,11 +234,17 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
     xs = (x,) if x2 is None else (x, x2)
     n_in = len(xs)
     has_res = res_ch is not None
+    res_lanes = None
     if has_res:
-        assert x_res is not None and x_res.shape == (nt, h, w_, cout)
+        if res_embed is not None:
+            res_lanes = 2 * res_embed[0]
+            assert x_res is not None and x_res.shape == (nt, h, w_, res_lanes)
+            assert cout == 2 * res_embed[1]
+        else:
+            assert x_res is not None and x_res.shape == (nt, h, w_, cout)
     if bh is None:
         bh = _pick_bh_chain(h, w_, c, c1, cout, jnp.dtype(x.dtype).itemsize,
-                            n_in, has_res, folded)
+                            n_in, has_res, folded, res_lanes=res_lanes)
     if bh is None:
         raise ValueError(f'no valid row block for H={h}')
     nhb = h // bh
@@ -209,24 +255,29 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
 
     kern = functools.partial(_kernel_chain, nt=nt, bh=bh, h=h, w=w_, c=c,
                              c1=c1, cout=cout, act1=act1, act2=act2,
-                             n_in=n_in, res_ch=res_ch, folded=folded)
+                             n_in=n_in, res_ch=res_ch, folded=folded,
+                             res_proj=res_embed is not None)
     scratch = [
         pltpu.VMEM((2, n_in, bh + 2, w_ + 2 * _COL0, c), x.dtype),
         pltpu.SemaphoreType.DMA((2, n_in, 3)),
         pltpu.VMEM((3, bh, w_ + 2, c1), x.dtype),
     ]
     operands = list(xs)
+    weights = [w1, b1.reshape(1, c1), w2, b2.reshape(1, cout)]
     if has_res:
         operands.append(x_res)
+        if res_embed is not None:
+            weights.append(jnp.asarray(
+                res_embed_matrix(*res_embed), x.dtype))
         scratch += [
-            pltpu.VMEM((2, bh, w_, cout), x.dtype),
+            pltpu.VMEM((2, bh, w_, res_lanes or cout), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     return pl.pallas_call(
         kern,
         grid=(nt, nhb + 1),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(operands) + [
-            pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
         out_specs=pl.BlockSpec(
             (1, bh, w_, cout),
             lambda t, hb: (t, jnp.maximum(hb - 1, 0), 0, 0),
@@ -240,7 +291,7 @@ def conv_chain_pallas(x, w1, b1, w2, b2, x2=None, x_res=None, *, act1='relu6',
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(*operands, w1, b1.reshape(1, c1), w2, b2.reshape(1, cout))
+    )(*operands, *weights)
 
 
 def _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=None):
@@ -345,41 +396,59 @@ def _cca_bwd(act1, act2, folded, res, g):
 conv_chain_add2.defvjp(_cca_fwd, _cca_bwd)
 
 
-def _chain_res_xla(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch):
+def _chain_res_xla(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch,
+                   res_embed=None):
     """XLA oracle for the residual-fused chain."""
     y = _chain_xla(x, w1, b1, w2, b2, act1, act2, x2=x2)
     cout = y.shape[-1]
+    if res_embed is not None:
+        emb = jnp.asarray(res_embed_matrix(*res_embed), x_res.dtype)
+        x_res = jnp.einsum('...i,ij->...j', x_res, emb)
     lane = jnp.arange(cout) % (cout // 2)
     return jnp.where(lane < res_ch, x_res - y, y)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def conv_chain_add2_res(x, x2, x_res, w1, b1, w2, b2, act1='relu6',
-                        act2='none', res_ch=3, folded=False):
+                        act2='none', res_ch=3, folded=False, res_embed=None):
     """outc's full folded epilogue in ONE kernel: skip-add + c1 + c2 +
     the per-stage residual combine (lanes l%half < res_ch become
     x_res - y). Replaces an XLA pad/select/layout-copy complex worth
-    ~8 ms on the 540p flagship trace."""
+    ~8 ms on the 540p flagship trace. ``res_embed``: see
+    conv_chain_pallas — x_res is the raw folded stage input, projected to
+    the output lane layout in-kernel (the tail stage's path)."""
     return conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
-                             act2=act2, res_ch=res_ch, folded=folded)
+                             act2=act2, res_ch=res_ch, folded=folded,
+                             res_embed=res_embed)
 
 
-def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch, folded):
+def _ccr_fwd(x, x2, x_res, w1, b1, w2, b2, act1, act2, res_ch, folded,
+             res_embed):
     y = conv_chain_pallas(x, w1, b1, w2, b2, x2, x_res, act1=act1,
-                          act2=act2, res_ch=res_ch, folded=folded)
+                          act2=act2, res_ch=res_ch, folded=folded,
+                          res_embed=res_embed)
     return y, (x, x2, x_res, w1, b1, w2, b2, y)
 
 
-def _ccr_bwd(act1, act2, res_ch, folded, res, g):
+def _ccr_bwd(act1, act2, res_ch, folded, res_embed, res, g):
     x, x2, x_res, w1, b1, w2, b2, y = res
     # undo the residual combine: saved y = where(lane, x_res - y2, y2),
     # so y2 (conv2's post-act output, the act2-mask source) and the
     # cotangents of (y2, x_res) are pure lane selects on the saved output
     cout = y.shape[-1]
     lane = jnp.arange(cout) % (cout // 2) < res_ch
-    y2 = jnp.where(lane, x_res - y, y)
+    if res_embed is not None:
+        emb = jnp.asarray(res_embed_matrix(*res_embed), x_res.dtype)
+        xpad = jnp.einsum('...i,ij->...j', x_res, emb)
+    else:
+        xpad = x_res
+    y2 = jnp.where(lane, xpad - y, y)
     g2 = jnp.where(lane, -g, g)
-    dxres = jnp.where(lane, g, jnp.zeros((), g.dtype))
+    dxpad = jnp.where(lane, g, jnp.zeros((), g.dtype))
+    if res_embed is not None:
+        dxres = jnp.einsum('...j,ij->...i', dxpad, emb)
+    else:
+        dxres = dxpad
     dx, dw1, db1, dw2, db2 = _chain_direct_bwd(x, x2, w1, b1, w2, b2, y2,
                                                g2, act1, act2)
     return dx, dx, dxres, dw1, db1, dw2, db2
@@ -389,8 +458,11 @@ conv_chain_add2_res.defvjp(_ccr_fwd, _ccr_bwd)
 
 
 def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1,
-                         has_res=False, folded=False):
-    """Whether the chained kernel applies on this backend/shape."""
+                         has_res=False, folded=False, res_lanes=None):
+    """Whether the chained kernel applies on this backend/shape.
+    ``res_lanes``: the residual source's lane count when it arrives in the
+    in-kernel-projection layout (res_embed path) — must be 128-aligned;
+    without it the residual source must match Cout, itself 128-aligned."""
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.bfloat16),
                                 jnp.dtype(jnp.float32)):
         return False
@@ -403,10 +475,14 @@ def conv_chain_supported(x_shape, w1_shape, w2_shape, dtype, n_in=1,
     c1 = w1_shape[-1]
     if w1_shape[:2] != (3, 3) or w2_shape[:2] != (3, 3):
         return False
-    if c % 128 != 0 or c1 % 128 != 0:
+    if c % 128 != 0 or c1 % 128 != 0 or w_ % 8 != 0:
         return False
-    if has_res and w2_shape[-1] % 128 != 0:
-        return False
+    if has_res:
+        if res_lanes is not None:
+            if res_lanes % 128 != 0:
+                return False
+        elif w2_shape[-1] % 128 != 0:
+            return False
     return _pick_bh_chain(h, w_, c, c1, w2_shape[-1],
                           jnp.dtype(dtype).itemsize, n_in,
-                          has_res, folded) is not None
+                          has_res, folded, res_lanes=res_lanes) is not None

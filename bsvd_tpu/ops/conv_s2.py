@@ -274,5 +274,7 @@ def conv_s2_supported(x_shape, w_shape, dtype):
     nt, h, w_, c = x_shape
     if w_shape[0] != 3 or w_shape[1] != 2 or h % 2 != 0 or c % 128 != 0:
         return False
+    if w_ % 8 != 0:     # HBM row DMAs need an 8-aligned logical width
+        return False
     return _pick_bh_s2(h // 2, w_, c, w_shape[-1],
                        jnp.dtype(dtype).itemsize) is not None

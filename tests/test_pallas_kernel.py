@@ -550,6 +550,52 @@ def test_conv_chain_res_interpret_matches_xla(rc):
                                    rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
 
 
+def test_conv_chain_res_embed_interpret_and_grads():
+    """Residual-fused chain with IN-KERNEL lane projection (res_embed):
+    x_res is the raw folded stage input; the kernel projects it to output
+    lanes via the 0/1 embed matrix. Forward == XLA oracle; grads == vjp
+    through the oracle (tail-stage path, 2*s_out < 128)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from bsvd_tpu.ops.conv_chain import (_chain_res_xla, conv_chain_pallas,
+                                         conv_chain_add2_res)
+    rng = np.random.default_rng(77)
+    NT, H, W, C, C1 = 2, 8, 64, 16, 24
+    in_c, s_out, rc = 8, 4, 3
+    CO = 2 * s_out
+    x = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((NT, H, W, C)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((NT, H, W, 2 * in_c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C1)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C1) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C1, CO)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(CO) * 0.1, jnp.float32)
+    ref = _chain_res_xla(x, x2, xr, w1, b1, w2, b2, 'relu6', 'none', rc,
+                         res_embed=(in_c, s_out))
+    for bh in (2, 4):
+        got = conv_chain_pallas(x, w1, b1, w2, b2, x2, xr, act1='relu6',
+                                act2='none', res_ch=rc, bh=bh,
+                                res_embed=(in_c, s_out), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'bh={bh}')
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(conv_chain_add2_res(
+                *a, 'relu6', 'none', rc, False, (in_c, s_out)) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_chain_res_xla(*a, 'relu6', 'none', rc,
+                                      res_embed=(in_c, s_out)) ** 2)
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(x, x2, xr, w1, b1,
+                                                       w2, b2)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(x, x2, xr, w1, b1,
+                                                     w2, b2)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_conv_chain_res_gradients():
     import jax
     from jax.experimental.pallas import tpu as pltpu
