@@ -231,7 +231,15 @@ def _stage_stream_init(cfg, stage_idx, n, h, w, dtype):
     # On the folded path the full-res rings store the WIDTH-FOLDED view
     # (same element count) so the step never unfolds between stages.
     if _fold_active(cfg, w):
-        sk1_dims = (n, h, w // 2, 2 * cfg.residual_ch)
+        s_out = cfg.stage_io(stage_idx)[1]
+        if 2 * s_out < 128 and (2 * s_in) % 128 == 0:
+            # tail stage: store the FULL folded input so the outc chain-res
+            # kernel can project it to output lanes in VMEM (res_embed) —
+            # physically free: T(8,128) tiling pads a 2*rc-lane slot to 128
+            # lanes anyway
+            sk1_dims = (n, h, w // 2, 2 * s_in)
+        else:
+            sk1_dims = (n, h, w // 2, 2 * cfg.residual_ch)
         sk2_dims = (n, h, w // 2, 2 * c0)
     else:
         sk1_dims = (n, h, w, cfg.residual_ch)
@@ -438,9 +446,16 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
     # returned — the step never folds or unfolds internally.
     if fold_io:
         n_, h_, wf_, c2_ = x.shape
-        xr = x.reshape(n_, h_, wf_, 2, c2_ // 2)[..., :rc]
-        new_st['skip1'] = _ring_push(st['skip1'],
-                                     xr.reshape(n_, h_, wf_, 2 * rc), valid)
+        sk1_full = st['skip1']['buf'].shape[-1] == c2_
+        if sk1_full:
+            # tail-stage ring carries the FULL folded input (see
+            # _stage_stream_init) for the res_embed chain kernel
+            new_st['skip1'] = _ring_push(st['skip1'], x, valid)
+        else:
+            xr = x.reshape(n_, h_, wf_, 2, c2_ // 2)[..., :rc]
+            new_st['skip1'] = _ring_push(st['skip1'],
+                                         xr.reshape(n_, h_, wf_, 2 * rc),
+                                         valid)
     else:
         new_st['skip1'] = _ring_push(st['skip1'], x[..., :rc], valid)
 
@@ -550,21 +565,35 @@ def _stage_stream_step(p, st, x, valid, cfg, act, assume_filled=False,
         sk2f = sk2.astype(x1uf.dtype)
         new_st['skip1'], sk1 = _ring_pop(new_st['skip1'], v1u)
         sk1f = sk1.astype(x1uf.dtype)
-        # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
-        # wnet_arch.embed_half_lanes)
-        xpad = embed_half_lanes(sk1f, rc, s_out)
+        sk1_full = sk1f.shape[-1] != 2 * rc
         if an is not None and mask is None:
             from bsvd_tpu.ops.conv3x3 import fold_width_weights
             from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
                                                  conv_chain_supported)
             w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
             w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
-            if conv_chain_supported(sk2f.shape, w1.shape, w2.shape,
-                                    sk2f.dtype, n_in=2, has_res=True,
-                                    folded=True):
+            if sk1_full and conv_chain_supported(
+                    sk2f.shape, w1.shape, w2.shape, sk2f.dtype, n_in=2,
+                    has_res=True, folded=True,
+                    res_lanes=sk1f.shape[-1]):
+                # tail stage: the kernel projects the full folded input to
+                # output lanes in VMEM (res_embed)
+                yf = conv_chain_add2_res(sk2f, x1uf, sk1f, w1, b1, w2, b2,
+                                         cfg.act, 'none', rc, True,
+                                         res_embed=(sk1f.shape[-1] // 2,
+                                                    s_out))
+                return new_st, yf, v1u
+            if not sk1_full and conv_chain_supported(
+                    sk2f.shape, w1.shape, w2.shape, sk2f.dtype, n_in=2,
+                    has_res=True, folded=True):
+                xpad = embed_half_lanes(sk1f, rc, s_out)
                 yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
                                          cfg.act, 'none', rc, True)
                 return new_st, yf, v1u
+        # 0/1-embedding GEMM instead of reshape+pad (layout-safe; see
+        # wnet_arch.embed_half_lanes)
+        xpad = embed_half_lanes(sk1f, sk1f.shape[-1] // 2 if sk1_full
+                                else rc, s_out)
         if mask is None:
             yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
                                      x2_f=sk2f)
@@ -715,8 +744,11 @@ def _stage_stream_step_block(p, st, xs, cfg, act, fold_io=False, mask=None):
 
     if fold_io:
         _, _, h_, wf_, c2_ = xs.shape
-        xr = xs.reshape(f, n_, h_, wf_, 2, c2_ // 2)[..., :rc]
-        sk1_pushes = xr.reshape(f, n_, h_, wf_, 2 * rc)
+        if st['skip1']['buf'].shape[-1] == c2_:
+            sk1_pushes = xs          # tail stage: full folded input
+        else:
+            xr = xs.reshape(f, n_, h_, wf_, 2, c2_ // 2)[..., :rc]
+            sk1_pushes = xr.reshape(f, n_, h_, wf_, 2 * rc)
     else:
         sk1_pushes = xs[..., :rc]
 
@@ -814,19 +846,30 @@ def _stage_stream_step_block(p, st, xs, cfg, act, fold_io=False, mask=None):
         sk2f = merge(sk2).astype(x1uf.dtype)
         new_st['skip1'], sk1 = _ring_thread(st['skip1'], sk1_pushes)
         sk1f = merge(sk1).astype(x1uf.dtype)
-        xpad = embed_half_lanes(sk1f, rc, s_out)
+        sk1_full = sk1f.shape[-1] != 2 * rc
         if an is not None and mask is None:
             from bsvd_tpu.ops.conv3x3 import fold_width_weights
             from bsvd_tpu.ops.conv_chain import (conv_chain_add2_res,
                                                  conv_chain_supported)
             w1, b1 = fold_width_weights(o['c1']['w'], o['c1']['b'])
             w2, b2 = fold_width_weights(o['c2']['w'], o['c2']['b'])
-            if conv_chain_supported(sk2f.shape, w1.shape, w2.shape,
-                                    sk2f.dtype, n_in=2, has_res=True,
-                                    folded=True):
+            if sk1_full and conv_chain_supported(
+                    sk2f.shape, w1.shape, w2.shape, sk2f.dtype, n_in=2,
+                    has_res=True, folded=True, res_lanes=sk1f.shape[-1]):
+                yf = conv_chain_add2_res(sk2f, x1uf, sk1f, w1, b1, w2, b2,
+                                         cfg.act, 'none', rc, True,
+                                         res_embed=(sk1f.shape[-1] // 2,
+                                                    s_out))
+                return new_st, split(yf)
+            if not sk1_full and conv_chain_supported(
+                    sk2f.shape, w1.shape, w2.shape, sk2f.dtype, n_in=2,
+                    has_res=True, folded=True):
+                xpad = embed_half_lanes(sk1f, rc, s_out)
                 yf = conv_chain_add2_res(sk2f, x1uf, xpad, w1, b1, w2, b2,
                                          cfg.act, 'none', rc, True)
                 return new_st, split(yf)
+        xpad = embed_half_lanes(sk1f, sk1f.shape[-1] // 2 if sk1_full
+                                else rc, s_out)
         if mask is None:
             yf = _pair_folded_stream(o['c1'], o['c2'], x1uf, act, 'none', an,
                                      x2_f=sk2f)

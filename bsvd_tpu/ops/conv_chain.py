@@ -58,6 +58,14 @@ def _pick_bh_chain(h, w, c, c1, cout, itemsize=2, n_in=1, has_res=False,
         res_pad = (-(-res_lanes // 128) * 128 if res_lanes is not None
                    else cout_pad)
         res = 2 * bh * w * res_pad * itemsize if has_res else 0
+        if has_res:
+            # the fp32 residual tile (cast or projection output) — the
+            # H=544 burn-in shapes picked bh=8 without this and overran
+            # the 16 MiB scoped-vmem stack by 712 KiB at compile
+            res += bh * w * cout_pad * 4
+        if has_res and res_lanes is not None:
+            # in-kernel projection: the (bh*w, res_lanes) operand view
+            res += bh * w * res_pad * itemsize
         total = (int(2 * n_in * tile + tmp * tile) + interm + 2 * acc + out
                  + wts + res)
         if total <= vmem_budget and bh * w >= 512:

@@ -112,6 +112,8 @@ def main():
     ap.add_argument('--davis-clips', type=int, default=8)
     ap.add_argument('--frames', type=int, default=85)
     ap.add_argument('--save-img', action='store_true')
+    ap.add_argument('--only', choices=['set8', 'davis'],
+                    help='run a single dataset family (re-validation runs)')
     args = ap.parse_args()
 
     from bsvd_tpu.utils.platform import setup_compilation_cache
@@ -121,10 +123,14 @@ def main():
                               args.frames)
     blocks = []
     for sigma in (10, 20, 30, 40, 50):
-        blocks.append(BLOCK.format(key=f's{sigma}', name=f'Set8_{sigma}',
-                                   dir=set8, frames=args.frames, sigma=sigma))
-        blocks.append(BLOCK.format(key=f'd{sigma}', name=f'davis_{sigma}',
-                                   dir=davis, frames=args.frames, sigma=sigma))
+        if args.only != 'davis':
+            blocks.append(BLOCK.format(key=f's{sigma}', name=f'Set8_{sigma}',
+                                       dir=set8, frames=args.frames,
+                                       sigma=sigma))
+        if args.only != 'set8':
+            blocks.append(BLOCK.format(key=f'd{sigma}', name=f'davis_{sigma}',
+                                       dir=davis, frames=args.frames,
+                                       sigma=sigma))
     yml = YML_TMPL.format(datasets=''.join(blocks),
                           save_img=str(bool(args.save_img)).lower())
     opt_path = os.path.join(args.root, 'bsvd_c64_burnin.yml')
@@ -137,8 +143,9 @@ def main():
     results = test_pipeline('/root/repo', opt_path=opt_path)
     wall = time.time() - t0
 
-    frames_total = sum(args.frames * n for n in
-                       (args.set8_clips * 5, args.davis_clips * 5))
+    frames_total = args.frames * (
+        (args.set8_clips * 5 if args.only != 'davis' else 0)
+        + (args.davis_clips * 5 if args.only != 'set8' else 0))
     summary = {
         'wall_s': round(wall, 1),
         'blocks': len(results),
